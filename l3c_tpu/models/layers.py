@@ -1,0 +1,132 @@
+"""Building-block layers: torch-semantics convs, ResBlock, pixel-shuffle.
+
+TPU-native equivalents of /root/reference/src/modules/edsr.py (ResBlock,
+Upsampler, MeanShift) and pytorch_ext.default_conv (pytorch_ext.py:57-61).
+Everything is NHWC (TPU-preferred layout: the channel dim rides the 128-lane
+axis and convs lower onto the MXU).
+
+Conv semantics match torch's `Conv2d(padding=k//2 if rate==1 else rate,
+dilation=rate, stride=s)` via explicit padding tuples (XLA's 'SAME' differs
+for stride 2, so we never use it). Kernel init is the kaiming-uniform
+equivalent (variance_scaling(1/3, fan_in, uniform) == U(+-1/sqrt(fan_in))),
+matching torch Conv2d defaults so training dynamics line up.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# U(+-sqrt(3 * (1/3) / fan_in)) == U(+-1/sqrt(fan_in)), torch's kaiming
+# uniform with a=sqrt(5) on conv weights.
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+# RGB statistics used for input normalization (multiscale_network.py:181,
+# net.py:69-70; values from EDSR / DIV2K, scaled by 255 at use sites).
+RGB_MEAN = np.asarray((0.4488, 0.4371, 0.4040), np.float32)
+
+
+def conv(features: int, kernel_size: int, stride: int = 1, rate: int = 1,
+         use_bias: bool = True, name: Optional[str] = None) -> nn.Conv:
+    """default_conv equivalent: same-pad (dilation-aware), NHWC."""
+    pad = kernel_size // 2 if rate == 1 else rate
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(rate, rate),
+        use_bias=use_bias,
+        kernel_init=torch_kernel_init,
+        name=name,
+    )
+
+
+class ResBlock(nn.Module):
+    """conv-ReLU-conv with identity skip (edsr.py:63-89, bn/atrous off)."""
+    n_feats: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        r = conv(self.n_feats, self.kernel_size, name="conv1")(x)
+        r = nn.relu(r)
+        r = conv(self.n_feats, self.kernel_size, name="conv2")(r)
+        return x + r
+
+
+def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
+    """NHWC pixel shuffle with torch channel-ordering semantics.
+
+    torch (NCHW): out[n, c, r*h+i, r*w+j] = in[n, c*r*r + i*r + j, h, w].
+    Here the trailing channel index decomposes the same way so imported
+    checkpoints produce identical images.
+    """
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, i, w, j, c
+    return x.reshape(n, h * r, w * r, c)
+
+
+class Upsampler(nn.Module):
+    """conv(C -> 4C, 3x3) + PixelShuffle(2) per x2 factor (edsr.py:92-119)."""
+    n_feats: int
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.scale & (self.scale - 1) == 0, "power-of-two scales only"
+        n_ups = int(np.log2(self.scale))
+        for i in range(n_ups):
+            x = conv(4 * self.n_feats, 3, name=f"up{i}")(x)
+            x = pixel_shuffle(x, 2)
+        return x
+
+
+class StackedAtrousConvs(nn.Module):
+    """Parallel dilated convs (rates 1,2,4) concat + 1x1 projection.
+
+    Mirrors prob_clf.StackedAtrousConvs (prob_clf.py:55-73); the concat
+    ordering follows the rate order for checkpoint-import parity.
+    """
+    rates: Sequence[int]
+    Cin: int
+    Cout: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        branches = [conv(self.Cin, self.kernel_size, rate=r,
+                         name=f"atrous{i}")(x)
+                    for i, r in enumerate(self.rates)]
+        x = jnp.concatenate(branches, axis=-1)
+        return conv(self.Cout, 1, name="lin")(x)
+
+
+def sub_rgb_mean(x: jax.Array) -> jax.Array:
+    """x - 255*rgb_mean: input normalization (multiscale_network.py:241)."""
+    return x - jnp.asarray(255.0 * RGB_MEAN, x.dtype)
+
+
+def add_rgb_mean(x: jax.Array) -> jax.Array:
+    return x + jnp.asarray(255.0 * RGB_MEAN, x.dtype)
+
+
+def bicubic_downsample_x2(x_rgb_0_255: jax.Array) -> jax.Array:
+    """Bicubic x0.5 downsample of an NHWC [0,255] image, on-device.
+
+    TPU-native replacement for the reference's host-side PIL resize
+    (net.py:65-80, images_loader.py:277-288): jax.image.resize with the
+    Keys cubic kernel (a=-0.5, antialiased), which matches PIL's bicubic
+    reduction up to boundary handling. Keeping it on-device removes a
+    host round-trip per scale for the RGB baselines.
+    """
+    n, h, w, c = x_rgb_0_255.shape
+    y = jax.image.resize(x_rgb_0_255, (n, h // 2, w // 2, c),
+                         method="bicubic", antialias=True)
+    return jnp.clip(jnp.round(y), 0.0, 255.0)
