@@ -1,0 +1,94 @@
+"""Evaluation CLI.
+
+Mirrors /root/reference/src/test.py:
+    python -m l3c_tpu.cli.test LOG_DIR_ROOT LOG_DATES IMG_DIRS \
+        [--names ...] [--restore_itr ...] [--write_to_files OUT]
+        [--sample OUT] [--max_imgs_per_folder N] [--recursive N]
+        [--time_report PATH] [--compare_theory] [--sort_output]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("log_dir_root")
+    p.add_argument("log_dates", help="comma-separated MMDD_HHMM prefixes")
+    p.add_argument("img_dirs", help="comma-separated image dirs/globs")
+    p.add_argument("--names", default=None,
+                   help="comma-separated display names for img_dirs")
+    p.add_argument("--restore_itr", default="-1",
+                   help="comma-separated iterations to evaluate")
+    p.add_argument("--max_imgs_per_folder", type=int, default=None)
+    p.add_argument("--write_to_files", metavar="OUT_DIR", default=None,
+                   help="real encode+decode round-trip per image")
+    p.add_argument("--sample", metavar="OUT_DIR", default=None)
+    p.add_argument("--recursive", default="0",
+                   help="'auto' or an int; extra recursions (RGB Shared)")
+    p.add_argument("--time_report", default=None)
+    p.add_argument("--compare_theory", action="store_true")
+    p.add_argument("--sort_output", action="store_true")
+    p.add_argument("--reset_cache", action="store_true")
+    p.add_argument("--config_roots", default=None,
+                   help="colon-separated roots to resolve .cf names")
+    flags = p.parse_args(argv)
+
+    from ..data.images import Testset
+    from ..eval.tester import MultiscaleTester
+    from ..utils import logdir as logdir_mod
+    from ..utils.printer import AlignedPrinter
+
+    config_roots = (flags.config_roots.split(":") if flags.config_roots
+                    else [os.path.join(os.path.dirname(__file__), "..",
+                                       "configs")])
+
+    names = flags.names.split(",") if flags.names else None
+    testsets = []
+    for i, d in enumerate(flags.img_dirs.split(",")):
+        testsets.append(Testset(d, max_imgs=flags.max_imgs_per_folder,
+                                name=names[i] if names else None))
+
+    table = AlignedPrinter()
+    table.append("log_dir", "itr", "testset", "bpsp")
+    rows = []
+    for log_date in flags.log_dates.split(","):
+        log_dir = logdir_mod.find_log_dir(flags.log_dir_root, log_date)
+        for itr_s in flags.restore_itr.split(","):
+            itr = int(itr_s)
+            recursive = _parse_recursive(flags.recursive, log_dir)
+            tester = MultiscaleTester.from_log_dir(
+                log_dir, config_roots, restore_itr=itr,
+                use_cache=not flags.reset_cache, recursive=recursive)
+            for ts in testsets:
+                if flags.write_to_files:
+                    res = tester.write_to_files(
+                        ts, flags.write_to_files,
+                        time_report=flags.time_report)
+                else:
+                    res = tester.test(ts)
+                rows.append((os.path.basename(log_dir),
+                             str(tester.restore_itr), ts.id,
+                             f"{res.mean_bpsp():.4f}"))
+                if flags.sample:
+                    tester.sample(ts, flags.sample)
+    if flags.sort_output:
+        rows.sort(key=lambda r: r[3])
+    for r in rows:
+        table.append(*r)
+    table.print()
+    return 0
+
+
+def _parse_recursive(spec: str, log_dir: str) -> int:
+    """'auto' => 3 extra recursions for RGB-Shared dirs, like the
+    reference's _parse_recursive_flag (multiscale_tester.py:123-132)."""
+    if spec == "auto":
+        return 3 if "shared" in os.path.basename(log_dir).lower() else 0
+    return int(spec)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+"""Host data pipeline: cached file listings, crop/flip batching, testsets.
+
+Reimplements the reference data layer for a JAX host loop:
+- ImagesCached (images_loader.py:132-250): recursive folder listings
+  pickled next to the data with a min_size filter, for slow filesystems.
+- Batch iterator replacing IndexImagesDataset + DataLoader
+  (images_loader.py:39-97, multiscale_trainer.py:116-148): random
+  128-crops + horizontal flips of uint8 images, NHWC numpy batches,
+  loaded on a background thread so the accelerator step overlaps IO.
+- Testset (helpers/testset.py:31-105): sorted listing of a folder or a
+  single file, deterministic linspace subsample for max_imgs, stable id.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".webp")
+
+
+def _is_image(p: str) -> bool:
+    return p.lower().endswith(IMG_EXTS)
+
+
+def iter_images_in(root_or_glob: str) -> List[str]:
+    """Accepts a dir, a glob, or a single file; returns sorted paths."""
+    if os.path.isfile(root_or_glob):
+        return [root_or_glob]
+    if os.path.isdir(root_or_glob):
+        out = []
+        for base, _, files in os.walk(root_or_glob):
+            out.extend(os.path.join(base, f) for f in files
+                       if _is_image(f))
+        return sorted(out)
+    return sorted(p for p in glob.glob(root_or_glob, recursive=True)
+                  if _is_image(p))
+
+
+class ImagesCached:
+    """Pickle-cached recursive file listing with min-size filtering."""
+
+    def __init__(self, spec: str, cache_pkl: Optional[str] = None,
+                 min_size: Optional[int] = None):
+        self.spec = spec
+        self.cache_pkl = cache_pkl
+        self.min_size = min_size
+
+    def _cache_key(self):
+        return (self.spec, self.min_size)
+
+    def paths(self, update_cache: bool = False) -> List[str]:
+        cache = {}
+        if self.cache_pkl and os.path.isfile(self.cache_pkl):
+            with open(self.cache_pkl, "rb") as f:
+                cache = pickle.load(f)
+            if not update_cache and self._cache_key() in cache:
+                return cache[self._cache_key()]
+        ps = iter_images_in(self.spec)
+        if self.min_size:
+            ps = [p for p in ps if self._min_dim(p) >= self.min_size]
+        if self.cache_pkl:
+            cache[self._cache_key()] = ps
+            tmp = self.cache_pkl + ".write"
+            with open(tmp, "wb") as f:
+                pickle.dump(cache, f)
+            os.replace(tmp, self.cache_pkl)
+        return ps
+
+    @staticmethod
+    def _min_dim(p: str) -> int:
+        with Image.open(p) as im:
+            return min(im.size)
+
+
+def load_image_uint8(p: str) -> np.ndarray:
+    """(H,W,3) uint8; non-RGB images are converted (RGBA -> drop alpha)."""
+    with Image.open(p) as im:
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im, dtype=np.uint8)
+
+
+def random_crop_flip(img: np.ndarray, crop: int,
+                     rng: np.random.RandomState) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < crop or w < crop:  # upscale-pad tiny images by reflection
+        img = np.pad(img, ((0, max(0, crop - h)), (0, max(0, crop - w)),
+                           (0, 0)), mode="reflect")
+        h, w = img.shape[:2]
+    y = rng.randint(0, h - crop + 1)
+    x = rng.randint(0, w - crop + 1)
+    out = img[y:y + crop, x:x + crop]
+    if rng.rand() < 0.5:
+        out = out[:, ::-1]
+    return out
+
+
+class TrainBatches:
+    """Infinite iterator of (B, crop, crop, 3) uint8 batches.
+
+    Replaces DataLoader(num_workers=8): one background thread prefetches
+    the next batches while the TPU computes (this host has 1 core; the
+    thread still overlaps PIL decode with device compute).
+    """
+
+    def __init__(self, paths: Sequence[str], batch_size: int,
+                 crop_size: int, seed: int = 0, prefetch: int = 2):
+        assert paths, "no training images found"
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self.seed = seed
+        self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    @property
+    def epoch_len(self) -> int:
+        return max(1, len(self.paths) // self.batch_size)
+
+    def _worker(self):
+        rng = np.random.RandomState(self.seed)
+        while not self._stop.is_set():
+            idx = rng.randint(0, len(self.paths), size=self.batch_size)
+            batch = np.stack([
+                random_crop_flip(load_image_uint8(self.paths[i]),
+                                 self.crop_size, rng)
+                for i in idx])
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            yield self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+
+class Testset:
+    """Sorted image list with deterministic subsampling and a stable id."""
+
+    def __init__(self, root_or_glob: str, max_imgs: Optional[int] = None,
+                 name: Optional[str] = None):
+        ps = iter_images_in(root_or_glob)
+        if not ps:
+            raise ValueError(f"no images found for {root_or_glob!r}")
+        if max_imgs and max_imgs < len(ps):
+            sel = np.linspace(0, len(ps) - 1, max_imgs).astype(int)
+            ps = [ps[i] for i in sel]
+        self.paths = ps
+        base = name or os.path.basename(os.path.normpath(root_or_glob))
+        self.id = f"{base}_{len(ps)}"
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __iter__(self):
+        return iter(self.paths)

@@ -1,0 +1,231 @@
+"""Evaluation runtime: bpsp over testsets, codec round-trips, sampling.
+
+Reimplements /root/reference/src/test/multiscale_tester.py:
+- configs recovered from the log-dir NAME (logdir helpers) and the
+  checkpoint restored for a requested iteration (tester.py:181-199)
+- bpsp eval: per image auto-crop -> pad -> jitted forward -> bpsp with
+  the true (pre-pad) subpixel count -> CropLossCombinator (272-351)
+- --write_to_files: real encode + decode + BIT-EXACT assert per image
+  with per-stage timings (353-381) — the de-facto e2e gate
+- --sample: generative sampling at scale subsets saved as PNGs (436-448)
+- results cached per (dataset_id, restore_itr) in a pickle
+  (TestOutputCache, 67-107); single-process here so a file lock is not
+  needed — kept append-safe via atomic replace.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import blueprint
+from ..codec import auto_crop
+from ..codec.bitcoding import Bitcoding
+from ..config import MsConfig
+from ..data.images import Testset, load_image_uint8
+from ..models.network import MultiscaleNetwork
+from ..utils import pad as pad_mod
+from .timer import StackTimer
+
+
+class TestID(NamedTuple):
+    dataset_id: str
+    restore_itr: int
+
+
+class TestResult:
+    def __init__(self):
+        self.per_img: Dict[str, float] = {}
+
+    def __setitem__(self, k, v):
+        self.per_img[k] = v
+
+    def mean_bpsp(self) -> float:
+        return float(np.mean(list(self.per_img.values())))
+
+
+class TestOutputCache:
+    def __init__(self, log_dir: str):
+        self.path = os.path.join(log_dir, "test_outputs.pkl")
+
+    def _load(self) -> Dict:
+        if os.path.isfile(self.path):
+            with open(self.path, "rb") as f:
+                return pickle.load(f)
+        return {}
+
+    def __contains__(self, test_id: TestID) -> bool:
+        return test_id in self._load()
+
+    def get(self, test_id: TestID):
+        return self._load().get(test_id)
+
+    def put(self, test_id: TestID, result: TestResult):
+        d = self._load()
+        d[test_id] = result
+        tmp = self.path + ".write"
+        with open(tmp, "wb") as f:
+            pickle.dump(d, f)
+        os.replace(tmp, self.path)
+
+
+class EncodeError(Exception):
+    pass
+
+
+class MultiscaleTester:
+    def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
+                 log_dir: Optional[str] = None, restore_itr: int = -1,
+                 use_cache: bool = True, recursive: int = 0):
+        from ..utils.jaxtools import ensure_compile_cache
+        ensure_compile_cache()
+        self.cfg = cfg
+        self.net = net
+        self.params = params
+        self.restore_itr = restore_itr
+        self.recursive = recursive
+        self.cache = (TestOutputCache(log_dir)
+                      if (log_dir and use_cache) else None)
+        self.times = StackTimer(skip=1)
+
+        def fwd(params, x, num_sp):
+            out = net.apply(params, x, train=False,
+                            auto_recurse=self.recursive)
+            loss = blueprint.compute_loss(
+                cfg, out, num_subpixels_before_pad=num_sp,
+                auto_recursive_from=(cfg.num_scales if self.recursive
+                                     else None))
+            return blueprint.total_bpsp(loss)
+
+        # num_subpixels_before_pad changes the loss constants -> make it
+        # static so each (shape, num_sp) pair compiles once.
+        self._fwd = jax.jit(fwd, static_argnums=(2,))
+
+    @classmethod
+    def from_log_dir(cls, log_dir: str, config_roots: List[str],
+                     restore_itr: int = -1, **kw) -> "MultiscaleTester":
+        from ..config import load_ms_config
+        from ..train.saver import Restorer
+        from ..utils import logdir as logdir_mod
+        _, cf_paths = logdir_mod.parse_log_dir(log_dir, config_roots)
+        ms_paths = [p for p in cf_paths if os.sep + "ms" + os.sep in p]
+        assert ms_paths, f"no ms config found in {log_dir} name"
+        cfg = load_ms_config(ms_paths[0])
+        net = MultiscaleNetwork(cfg)
+        # structure-only template: eval_shape avoids ~60 eager op
+        # dispatches (each ~1s of dead wait in this environment)
+        params_t = jax.eval_shape(
+            lambda: net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 16, 16, 3))))
+        itr, params = Restorer(log_dir).restore_params_only(
+            params_t, restore_itr)
+        return cls(cfg, net, params, log_dir=log_dir, restore_itr=itr,
+                   **kw)
+
+    # ------------------------------------------------------------- bpsp
+
+    def test(self, testset: Testset) -> TestResult:
+        tid = TestID(testset.id, self.restore_itr)
+        if self.cache is not None:
+            hit = self.cache.get(tid)
+            if hit is not None:
+                return hit
+        result = TestResult()
+        for p in testset:
+            result[os.path.basename(p)] = self._bpsp_of_image(p)
+        if self.cache is not None:
+            self.cache.put(tid, result)
+        return result
+
+    def test_all(self, testsets: List[Testset]) -> List[tuple]:
+        """[(testset_id, mean_bpsp)] — the aligned-table rows."""
+        return [(ts.id, self.test(ts).mean_bpsp()) for ts in testsets]
+
+    def _bpsp_of_image(self, path: str) -> float:
+        img = load_image_uint8(path)[None]  # (1,H,W,3)
+        comb = auto_crop.CropLossCombinator()
+        fac = self.cfg.padding_fac * (2 ** self.recursive)
+        for crop in auto_crop.iter_crops(img):
+            num_sp = int(np.prod(crop.shape))
+            padded, _ = pad_mod.pad(crop, fac, mode="constant")
+            bpsp = float(self._fwd(self.params,
+                                   jnp.asarray(padded, jnp.float32),
+                                   num_sp))
+            comb.add(bpsp, num_sp)
+        return comb.get_bpsp()
+
+    # ------------------------------------------------------- round-trip
+
+    def write_to_files(self, testset: Testset, out_dir: str,
+                       time_report: Optional[str] = None) -> TestResult:
+        """Encode+decode every image, assert bit-exact, return real bpsp."""
+        os.makedirs(out_dir, exist_ok=True)
+        bc = Bitcoding(self.cfg, self.net, self.params, times=self.times)
+        result = TestResult()
+        for p in testset:
+            img = load_image_uint8(p)[None]
+            pout = os.path.join(
+                out_dir, os.path.splitext(os.path.basename(p))[0] + ".l3c")
+            if os.path.exists(pout):
+                os.remove(pout)
+            with self.times.run("enc"):
+                bpsp = bc.encode(img, pout)
+            with self.times.run("dec"):
+                out = bc.decode(
+                    pout if not auto_crop.needs_crop(img)
+                    else pout + ".part0")
+            if not np.array_equal(out, img):
+                raise EncodeError(f"round-trip mismatch for {p}")
+            result[os.path.basename(p)] = bpsp
+            self.times.next_iteration()
+        if time_report:
+            with open(time_report, "w") as f:
+                f.write(self.times.report())
+        return result
+
+    # --------------------------------------------------------- sampling
+
+    def sample(self, testset: Testset, out_dir: str,
+               sample_scale_sets=((), (0,), (0, 1)), seed: int = 0):
+        """Save sampled reconstructions per image per scale subset
+        (multiscale_tester.py:436-448)."""
+        from PIL import Image
+        os.makedirs(out_dir, exist_ok=True)
+        fac = self.cfg.padding_fac
+        for p in testset:
+            img = load_image_uint8(p)[None]
+            padded, _ = pad_mod.pad(img, fac, mode="constant")
+            x = jnp.asarray(padded, jnp.float32)
+            for scales in sample_scale_sets:
+                s = self.net.apply(
+                    self.params, x, jax.random.PRNGKey(seed),
+                    tuple(scales),
+                    method=MultiscaleNetwork.sample_forward)
+                arr = np.clip(np.asarray(s)[0], 0, 255).astype(np.uint8)
+                name = (os.path.splitext(os.path.basename(p))[0]
+                        + "_sample" + "_".join(map(str, scales)) + ".png")
+                Image.fromarray(arr).save(os.path.join(out_dir, name))
+
+    # ------------------------------------------------- single-file codec
+
+    def encode_file(self, img_path: str, out_path: str) -> float:
+        bc = Bitcoding(self.cfg, self.net, self.params, times=self.times)
+        img = load_image_uint8(img_path)[None]
+        if os.path.exists(out_path):
+            raise EncodeError(f"{out_path} exists")
+        return bc.encode(img, out_path)
+
+    def decode_file(self, in_path: str, out_png: str):
+        from PIL import Image
+        bc = Bitcoding(self.cfg, self.net, self.params, times=self.times)
+        parts = in_path
+        if not os.path.exists(in_path) and os.path.exists(
+                in_path + ".part0"):
+            parts = in_path + ".part0"
+        img = bc.decode(parts)
+        Image.fromarray(img[0]).save(out_png)

@@ -242,3 +242,64 @@ class MultiscaleNetwork(nn.Module):
         assert 0 <= scale < self.cfg.num_scales
         F = self.decs[scale](bn_q, dec_F_prev)
         return self.prob_clfs[scale](F), F
+
+    # ---------------------------------------------------------- sampling
+
+    def sample_forward(self, x, rng, sample_scales: Tuple[int, ...],
+                       partial_final: Optional[Tuple[int, ...]] = None):
+        """Generative sampling (multiscale_network.py:328-406).
+
+        Scales in `sample_scales` feed a SAMPLED bottleneck to their
+        decoder instead of the encoder output; scale 0's RGB output is
+        always sampled from the final mixture. With sample_scales=() only
+        the RGB reconstruction is sampled; adding coarser scales samples
+        more of the hierarchy (paper Fig. 5). `partial_final` keeps the
+        listed channels of the coarsest sampled bottleneck real.
+        Returns the sampled image in [0, 255] (N,H,W,3).
+        """
+        from . import dmll as dmll_mod
+        cfg = self.cfg
+        x = layers.sub_rgb_mean(x)
+        enc_outs = self.enc_forward(x)
+        S = cfg.num_scales
+
+        rgb_spec = dmll_mod.DMLLSpec(rgb_scale=True)
+        lo, hi = cfg.q.levels_range
+        bn_sp = (rgb_spec if cfg.rgb_bicubic_baseline else
+                 dmll_mod.DMLLSpec(rgb_scale=False, x_min=lo, x_max=hi,
+                                   L=cfg.q.L))
+        levels = jnp.asarray(grids.levels(lo, hi, cfg.q.L))
+
+        prev_sample = None
+        features_to_fuse = None
+        out = None
+        for scale in reversed(range(S)):
+            if scale in sample_scales:
+                if prev_sample is None:
+                    # coarsest sampled scale: uniform fake bottleneck,
+                    # quantized to the level grid (mn.py:382-389)
+                    rng, sub = jax.random.split(rng)
+                    fake = jax.random.uniform(
+                        sub, enc_outs[-1].bn_q.shape, minval=-1.0,
+                        maxval=1.0)
+                    fake = levels[jnp.argmin(
+                        (fake[..., None] - levels) ** 2, axis=-1)]
+                    if partial_final:
+                        for c in partial_final:
+                            fake = fake.at[..., c].set(
+                                enc_outs[scale].bn_q[..., c])
+                    prev_sample = fake
+                dec_inp = prev_sample
+            else:
+                dec_inp = enc_outs[scale].bn_q
+            F = self.decs[scale](
+                dec_inp, features_to_fuse if cfg.dec.skip else None)
+            if cfg.dec.skip:
+                features_to_fuse = F
+            P = self.prob_clfs[scale](F)
+            if scale == 0 or (scale - 1) in sample_scales:
+                spec = rgb_spec if scale == 0 else bn_sp
+                C = 3 if scale == 0 else cfg.q.C
+                rng, sub = jax.random.split(rng)
+                prev_sample = dmll_mod.sample(spec, P, C, sub)
+        return prev_sample

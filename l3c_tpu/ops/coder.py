@@ -82,9 +82,10 @@ def get_lib() -> ctypes.CDLL:
 
 def _lam_ptr(lam: Optional[np.ndarray]):
     if lam is None:
-        return None
-    assert lam.dtype == np.float32 and lam.flags.c_contiguous
-    return lam.ctypes.data_as(ctypes.c_void_p)
+        return None, None
+    lam = np.ascontiguousarray(lam, np.float32)
+    # keep a reference alive alongside the pointer
+    return lam.ctypes.data_as(ctypes.c_void_p), lam
 
 
 class MixtureCoder:
@@ -113,9 +114,10 @@ class MixtureCoder:
         assert syms.shape == (C, HW) and syms.dtype == np.int32
         out = np.empty(C * (HW + 2 * self.n_chunks) * 4 + 64, np.uint8)
         chunk_lens = np.zeros(C * self.n_chunks, np.int64)
+        lam_ptr, _lam_keepalive = _lam_ptr(lam)
         n = lib.l3c_encode_mixture(
             np.ascontiguousarray(pi), np.ascontiguousarray(mu),
-            np.ascontiguousarray(inv_s), _lam_ptr(lam),
+            np.ascontiguousarray(inv_s), lam_ptr,
             np.ascontiguousarray(syms),
             C, K, HW, self.L, self.x_min, self.bin_w,
             self.n_chunks, out, out.size, chunk_lens)
@@ -133,9 +135,10 @@ class MixtureCoder:
         assert chunk_lens.size == C * self.n_chunks
         syms = np.zeros((C, HW), np.int32)
         buf = np.frombuffer(data, np.uint8).copy()  # ensure aligned
+        lam_ptr, _lam_keepalive = _lam_ptr(lam)
         r = lib.l3c_decode_mixture(
             np.ascontiguousarray(pi), np.ascontiguousarray(mu),
-            np.ascontiguousarray(inv_s), _lam_ptr(lam),
+            np.ascontiguousarray(inv_s), lam_ptr,
             buf, chunk_lens,
             C, K, HW, self.L, self.x_min, self.bin_w,
             self.n_chunks, syms)

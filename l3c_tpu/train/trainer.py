@@ -1,0 +1,205 @@
+"""Training runtime: jitted train step, epochless loop, validation.
+
+Reimplements /root/reference/src/train/trainer.py + multiscale_trainer.py
+as a functional JAX loop:
+
+- ONE jitted `train_step(state, batch)` doing forward, loss, backward,
+  RMSprop update, and metric computation (bpsp per scale, grad norm, lr)
+  — no Python in the hot path, XLA fuses the whole step.
+- epochless iteration with restore-to-iteration support
+  (trainer.py:59-89): schedules are pure functions of the step so
+  resuming needs no replay.
+- periodic validation over fixed batches (multiscale_trainer.py:228-254)
+  and checkpointing via train.saver with the reference keep policy.
+- optional data parallelism over a jax.sharding.Mesh (parallel.mesh).
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import blueprint
+from ..config import DlConfig, MsConfig
+from ..models.network import MultiscaleNetwork
+from ..parallel import mesh as mesh_mod
+from . import optim as optim_mod
+from . import schedule as schedule_mod
+from .saver import Saver
+
+
+def make_train_state(cfg: MsConfig, net: MultiscaleNetwork, rng,
+                     example_batch: jnp.ndarray,
+                     optimizer: optax.GradientTransformation):
+    # jit the whole init: ONE compile instead of ~60 eager dispatches
+    params = jax.jit(lambda r, x: net.init(r, x, train=True))(
+        rng, example_batch)
+    opt_state = optimizer.init(params)
+    return {"params": params, "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def make_train_step(cfg: MsConfig, net: MultiscaleNetwork,
+                    optimizer: optax.GradientTransformation,
+                    lr_fn: schedule_mod.Schedule):
+    """Returns (state, batch_f32) -> (state, metrics)."""
+
+    def loss_fn(params, batch):
+        out = net.apply(params, batch, train=True)
+        loss = blueprint.compute_loss(cfg, out)
+        return loss.loss_pc, loss
+
+    def step(state, batch):
+        batch = batch.astype(jnp.float32)
+        (loss_pc, loss), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"], batch)
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        gnorm = optax.global_norm(grads)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1}
+        metrics = {
+            "loss_bpsp": loss_pc,
+            "bpsp_total": blueprint.total_bpsp(loss),
+            "scale_bpsps": jnp.stack(
+                [jnp.asarray(b) for b in loss.nonrecursive_bpsps]),
+            "grad_norm": gnorm,
+            "lr": lr_fn(state["step"]),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(cfg: MsConfig, net: MultiscaleNetwork):
+    def eval_step(params, batch):
+        out = net.apply(params, batch.astype(jnp.float32), train=False)
+        loss = blueprint.compute_loss(cfg, out)
+        return blueprint.total_bpsp(loss)
+    return eval_step
+
+
+class Values:
+    """Console metric formatter (multiscale_trainer.py:257-279 flavor)."""
+
+    @staticmethod
+    def format(step: int, metrics: Dict, img_per_s: float) -> str:
+        s = (f"{step:8d} loss={float(metrics['loss_bpsp']):.4f} "
+             f"bpsp={float(metrics['bpsp_total']):.4f} ")
+        s += "scales=[" + " ".join(
+            f"{float(b):.3f}" for b in np.asarray(metrics["scale_bpsps"])
+        ) + "] "
+        s += (f"gnorm={float(metrics['grad_norm']):.2f} "
+              f"lr={float(metrics['lr']):.2e} {img_per_s:.1f} img/s")
+        return s
+
+
+class Trainer:
+    def __init__(self, cfg: MsConfig, dl_cfg: DlConfig,
+                 net: MultiscaleNetwork,
+                 train_batches: Iterable[np.ndarray],
+                 val_batches: Optional[list] = None,
+                 out_dir: Optional[str] = None,
+                 epoch_len: Optional[int] = None,
+                 mesh=None, seed: int = 0,
+                 summary_writer=None):
+        from ..utils.jaxtools import ensure_compile_cache
+        ensure_compile_cache()
+        self.cfg, self.dl_cfg, self.net = cfg, dl_cfg, net
+        self.train_batches = train_batches
+        self.val_batches = val_batches or []
+        self.epoch_len = epoch_len
+        self.mesh = mesh
+        self.summary_writer = summary_writer
+
+        self.lr_fn = schedule_mod.from_spec(cfg.lr_schedule, cfg.lr_initial,
+                                            epoch_len)
+        self.optimizer = optim_mod.make_optimizer(cfg, epoch_len)
+        example = jnp.zeros((1, dl_cfg.crop_size, dl_cfg.crop_size, 3),
+                            jnp.float32)
+        self.state = make_train_state(cfg, net, jax.random.PRNGKey(seed),
+                                      example, self.optimizer)
+        step_fn = make_train_step(cfg, net, self.optimizer, self.lr_fn)
+        if mesh is not None:
+            self._step = mesh_mod.data_parallel_jit(step_fn, mesh)
+        else:
+            self._step = jax.jit(step_fn, donate_argnums=(0,))
+        self._eval = jax.jit(make_eval_step(cfg, net))
+        self.saver = Saver(out_dir) if out_dir else None
+        self.start_itr = 0
+
+    def restore(self, restorer, itr: int = -1, restart: bool = False):
+        got_itr, state = restorer.restore(jax.device_get(self.state), itr)
+        if restart:
+            state["opt_state"] = jax.device_get(self.state)["opt_state"]
+            state["step"] = np.zeros((), np.int32)
+            got_itr = 0
+        self.state = jax.device_put(state)
+        self.start_itr = int(got_itr)
+        return got_itr
+
+    def _place_batch(self, batch: np.ndarray):
+        if self.mesh is not None:
+            return mesh_mod.shard_batch(self.mesh, batch)
+        return jnp.asarray(batch)
+
+    def train(self, num_itr: int, log_every: int = 100,
+              val_every: int = 500, log_fn=print) -> Dict:
+        it = iter(self.train_batches)
+        t0 = time.time()
+        imgs = 0
+        metrics = {}
+        for i in range(self.start_itr, self.start_itr + num_itr):
+            batch = next(it)
+            self.state, metrics = self._step(self.state,
+                                             self._place_batch(batch))
+            imgs += batch.shape[0]
+            if log_every and (i + 1) % log_every == 0:
+                jax.block_until_ready(metrics["loss_bpsp"])
+                dt = time.time() - t0
+                log_fn(Values.format(i + 1, metrics, imgs / max(dt, 1e-9)))
+                self._write_summaries("train", metrics, i + 1)
+                t0, imgs = time.time(), 0
+            if val_every and (i + 1) % val_every == 0 and self.val_batches:
+                val_bpsp = self.validation_loop()
+                log_fn(f"{i + 1:8d} VAL bpsp={val_bpsp:.4f}")
+                if self.summary_writer is not None:
+                    self.summary_writer.add_scalar("val/bpsp", val_bpsp,
+                                                   i + 1)
+            if self.saver is not None and self.saver.save_due(i + 1):
+                self.saver.save(jax.device_get(self.state), i + 1)
+        return metrics
+
+    def _write_summaries(self, prefix: str, metrics: Dict, step: int):
+        if self.summary_writer is None:
+            return
+        sw = self.summary_writer
+        sw.add_scalar(f"{prefix}/loss_bpsp",
+                      float(metrics["loss_bpsp"]), step)
+        sw.add_scalar(f"{prefix}/bpsp", float(metrics["bpsp_total"]), step)
+        for i, b in enumerate(np.asarray(metrics["scale_bpsps"])):
+            sw.add_scalar(f"{prefix}/costs/scale_{i}_bpsp", float(b), step)
+        sw.add_scalar(f"{prefix}/grad_norm",
+                      float(metrics["grad_norm"]), step)
+        sw.add_scalar(f"{prefix}/lr", float(metrics["lr"]), step)
+
+    def validation_loop(self) -> float:
+        vals = [float(self._eval(self.state["params"],
+                                 self._place_batch(b)))
+                for b in self.val_batches]
+        return float(np.mean(vals))
+
+    def debug_step(self) -> Dict:
+        """One train step + one val pass (train.py --debug equivalent)."""
+        batch = next(iter(self.train_batches))
+        self.state, metrics = self._step(self.state,
+                                         self._place_batch(batch))
+        if self.val_batches:
+            metrics["val_bpsp"] = self.validation_loop()
+        return metrics

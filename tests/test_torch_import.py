@@ -1,0 +1,222 @@
+"""Checkpoint-importer parity tests against a torch oracle.
+
+Builds a small torch model whose module naming matches the reference
+MultiscaleNetwork state_dict exactly (net.py / edsr.py / head.py /
+prob_clf.py Sequential layouts), runs it forward, imports its state_dict
+through convert.torch_import, and asserts our flax network reproduces the
+torch activations — covering conv padding semantics, strided downsampling,
+PixelShuffle channel order, atrous concat order, and the DMLL parameter
+layout (the traps listed in SURVEY.md section 7)."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from l3c_tpu.config import MsConfig, EncConfig, DecConfig, QConfig, ProbConfig
+from l3c_tpu.convert.torch_import import import_state_dict
+from l3c_tpu.models import grids, layers
+from l3c_tpu.models.network import MultiscaleNetwork
+
+
+def tconv(cin, cout, k, stride=1, rate=1):
+    pad = k // 2 if rate == 1 else rate
+    return tnn.Conv2d(cin, cout, k, stride=stride, padding=pad,
+                      dilation=rate)
+
+
+class TResBlock(tnn.Module):
+    def __init__(self, cf, k):
+        super().__init__()
+        self.body = tnn.Sequential(tconv(cf, cf, k), tnn.ReLU(True),
+                                   tconv(cf, cf, k))
+
+    def forward(self, x):
+        return x + self.body(x)
+
+
+class TEnc(tnn.Module):
+    """Matches EDSRLikeEnc naming: down, body.{0..n}, to_q.0, levels."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        cf, k = cfg.Cf, cfg.kernel_size
+        self.down = tconv(cf, cf, 5, stride=2)
+        self.body = tnn.Sequential(
+            *[TResBlock(cf, k) for _ in range(cfg.enc.num_blocks)],
+            tconv(cf, cf, k))
+        self.to_q = tnn.Sequential(tconv(cf, cfg.q.C, 1))
+        lo, hi = cfg.q.levels_range
+        self.levels = tnn.Parameter(
+            torch.from_numpy(grids.levels(lo, hi, cfg.q.L)),
+            requires_grad=False)
+
+    def forward(self, x):
+        x = self.down(x)
+        x = self.body(x) + x
+        F = x
+        return self.to_q(F), F
+
+
+class TDec(tnn.Module):
+    """Matches EDSRDec naming: head, body.{0..n}, tail.0."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        cf, k = cfg.Cf, cfg.kernel_size
+        self.head = tconv(cfg.q.C, cf, 1)
+        self.body = tnn.Sequential(
+            *[TResBlock(cf, k) for _ in range(cfg.dec.num_blocks)],
+            tconv(cf, cf, k))
+        self.tail = tnn.Sequential(tconv(cf, 4 * cf, 3),
+                                   tnn.PixelShuffle(2))
+
+    def forward(self, x, fuse=None):
+        x = self.head(x)
+        if fuse is not None:
+            x = x + fuse
+        x = self.body(x) + x
+        return self.tail(x)
+
+
+class TClf(tnn.Module):
+    """Matches AtrousProbabilityClassifier naming: atrous.atrous.{i},
+    atrous.lin."""
+
+    def __init__(self, cfg, C):
+        super().__init__()
+        from l3c_tpu.models.dmll import non_shared_get_Kp
+        cf, k = cfg.Cf, cfg.kernel_size
+        Kp = non_shared_get_Kp(cfg.prob.K, C)
+        inner = tnn.Module()
+        inner.atrous = tnn.ModuleList(
+            [tconv(cf, cf, k, rate=r) for r in (1, 2, 4)])
+        inner.lin = tconv(3 * cf, Kp, 1)
+        self.atrous = inner
+
+    def forward(self, x):
+        y = torch.cat([a(x) for a in self.atrous.atrous], dim=1)
+        return self.atrous.lin(y)
+
+
+class THead(tnn.Module):
+    def __init__(self, cin, cfg):
+        super().__init__()
+        self.head = tconv(cin, cfg.Cf, cfg.kernel_size)
+
+    def forward(self, x):
+        return self.head(x)
+
+
+class TNet(tnn.Module):
+    """Reference-named container: heads.{s}, nets.{s}.enc/dec,
+    prob_clfs.{s}."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        S = cfg.num_scales
+        rgb_head = tnn.Module()
+        ms = tnn.Conv2d(3, 3, 1)  # MeanShift /128
+        ms.weight.data = torch.eye(3).reshape(3, 3, 1, 1) / 128.0
+        ms.bias.data.zero_()
+        rgb_head.head = tnn.Sequential(ms, THead(3, cfg))
+        heads = [rgb_head] + [THead(cfg.Cf, cfg) for _ in range(1, S)]
+        self.heads = tnn.ModuleList(heads)
+        nets = []
+        for s in range(S):
+            n = tnn.Module()
+            n.enc = TEnc(cfg)
+            n.dec = TDec(cfg)
+            nets.append(n)
+        self.nets = tnn.ModuleList(nets)
+        self.prob_clfs = tnn.ModuleList(
+            [TClf(cfg, 3 if s == 0 else cfg.q.C) for s in range(S)])
+        self.cfg = cfg
+
+    def forward(self, x_normalized):
+        """Runs encoders + quantizer (hard) + decoders + clfs, eval mode."""
+        cfg = self.cfg
+        lo, hi = cfg.q.levels_range
+        lv = torch.from_numpy(grids.levels(lo, hi, cfg.q.L))
+        inp = x_normalized
+        enc_outs = []
+        for s in range(cfg.num_scales):
+            inp = self.heads[s].head(inp) if s == 0 else \
+                self.heads[s].head(inp)
+            bn_pre, F = self.nets[s].enc(inp)
+            d = (bn_pre.unsqueeze(-1) - lv) ** 2
+            syms = d.argmin(-1)
+            bn_q = lv[syms]
+            enc_outs.append((bn_q, syms, F))
+            inp = F
+        dec_Fs = [None] * cfg.num_scales
+        for s in reversed(range(cfg.num_scales)):
+            fuse = (dec_Fs[s + 1] if (cfg.dec.skip and
+                                      s != cfg.num_scales - 1) else None)
+            dec_Fs[s] = self.nets[s].dec(enc_outs[s][0], fuse)
+        Ps = [self.prob_clfs[s](dec_Fs[s]) for s in range(cfg.num_scales)]
+        return enc_outs, Ps
+
+
+def small_cfg():
+    return MsConfig(num_scales=2, Cf=8, enc=EncConfig(num_blocks=2),
+                    dec=DecConfig(num_blocks=2), q=QConfig(C=4, L=25),
+                    prob=ProbConfig(K=2))
+
+
+def test_full_forward_parity():
+    torch.manual_seed(0)
+    cfg = small_cfg()
+    tnet = TNet(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables = import_state_dict(sd, cfg)
+
+    img = np.random.RandomState(0).randint(
+        0, 256, (1, 16, 16, 3)).astype(np.float32)
+    x_norm = img - 255.0 * np.asarray(layers.RGB_MEAN)
+
+    with torch.no_grad():
+        t_enc, t_Ps = tnet(torch.from_numpy(
+            x_norm.transpose(0, 3, 1, 2)).float())
+
+    net = MultiscaleNetwork(cfg)
+    out = net.apply(variables, jnp.asarray(img), train=False)
+
+    # bottleneck symbols identical
+    for s in range(cfg.num_scales):
+        np.testing.assert_array_equal(
+            np.asarray(out.S[s + 1]),
+            t_enc[s][1].numpy().transpose(0, 2, 3, 1))
+    # mixture parameter maps match to float tolerance
+    for s in range(cfg.num_scales):
+        ours = np.asarray(out.P[s])
+        theirs = t_Ps[s].numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-4)
+
+
+def test_pixel_shuffle_matches_torch():
+    x = np.random.RandomState(0).randn(2, 3, 5, 16).astype(np.float32)
+    ours = np.asarray(layers.pixel_shuffle(jnp.asarray(x), 2))
+    theirs = tF.pixel_shuffle(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 2).numpy()
+    np.testing.assert_array_equal(ours, theirs.transpose(0, 2, 3, 1))
+
+
+def test_strided_conv_matches_torch():
+    """5x5/s2 'same-ish' padding: torch pad=2 vs our explicit pads."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 11, 13, 4).astype(np.float32)
+    w = rng.randn(6, 4, 5, 5).astype(np.float32)  # OIHW
+    b = rng.randn(6).astype(np.float32)
+    theirs = tF.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(w), torch.from_numpy(b),
+                       stride=2, padding=2).numpy().transpose(0, 2, 3, 1)
+    conv = layers.conv(6, 5, stride=2)
+    vars_ = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                        "bias": jnp.asarray(b)}}
+    ours = np.asarray(conv.apply(vars_, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
