@@ -26,16 +26,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from l3c_tpu.codec.bitcoding import Bitcoding
+    from l3c_tpu.codec import make_bitcoding
     from l3c_tpu.config import MsConfig
     from l3c_tpu.models.network import MultiscaleNetwork
+    from l3c_tpu.utils.jaxtools import ensure_compile_cache
 
+    ensure_compile_cache()
     cfg = MsConfig()  # flagship cr.cf architecture
     net = MultiscaleNetwork(cfg)
     rng = np.random.RandomState(0)
     params = jax.jit(net.init)(jax.random.PRNGKey(0),
                                jnp.zeros((1, 512, 512, 3), jnp.float32))
-    bc = Bitcoding(cfg, net, params)
+    bc = make_bitcoding(cfg, net, params)  # format v2: on-device rANS
 
     # Mildly structured image (random model => near-worst-case bitrate;
     # throughput is what we measure).

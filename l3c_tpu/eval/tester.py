@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import blueprint
 from ..codec import auto_crop
-from ..codec.bitcoding import Bitcoding
+from ..codec import make_bitcoding, open_decoder
 from ..config import MsConfig
 from ..data.images import Testset, load_image_uint8
 from ..models.network import MultiscaleNetwork
@@ -81,7 +81,8 @@ class EncodeError(Exception):
 class MultiscaleTester:
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  log_dir: Optional[str] = None, restore_itr: int = -1,
-                 use_cache: bool = True, recursive: int = 0):
+                 use_cache: bool = True, recursive: int = 0,
+                 codec_backend: str = "auto"):
         from ..utils.jaxtools import ensure_compile_cache
         ensure_compile_cache()
         self.cfg = cfg
@@ -89,6 +90,7 @@ class MultiscaleTester:
         self.params = params
         self.restore_itr = restore_itr
         self.recursive = recursive
+        self.codec_backend = codec_backend
         self.cache = (TestOutputCache(log_dir)
                       if (log_dir and use_cache) else None)
         self.times = StackTimer(skip=1)
@@ -165,7 +167,8 @@ class MultiscaleTester:
                        time_report: Optional[str] = None) -> TestResult:
         """Encode+decode every image, assert bit-exact, return real bpsp."""
         os.makedirs(out_dir, exist_ok=True)
-        bc = Bitcoding(self.cfg, self.net, self.params, times=self.times)
+        bc = make_bitcoding(self.cfg, self.net, self.params,
+                            times=self.times, backend=self.codec_backend)
         result = TestResult()
         for p in testset:
             img = load_image_uint8(p)[None]
@@ -214,7 +217,8 @@ class MultiscaleTester:
     # ------------------------------------------------- single-file codec
 
     def encode_file(self, img_path: str, out_path: str) -> float:
-        bc = Bitcoding(self.cfg, self.net, self.params, times=self.times)
+        bc = make_bitcoding(self.cfg, self.net, self.params,
+                            times=self.times, backend=self.codec_backend)
         img = load_image_uint8(img_path)[None]
         if os.path.exists(out_path):
             raise EncodeError(f"{out_path} exists")
@@ -222,7 +226,8 @@ class MultiscaleTester:
 
     def decode_file(self, in_path: str, out_png: str):
         from PIL import Image
-        bc = Bitcoding(self.cfg, self.net, self.params, times=self.times)
+        bc = open_decoder(in_path, self.cfg, self.net, self.params,
+                          times=self.times)
         parts = in_path
         if not os.path.exists(in_path) and os.path.exists(
                 in_path + ".part0"):

@@ -1,0 +1,142 @@
+"""Observability: metric/image/histogram summaries with prefix gating.
+
+Reimplements the reference vis/ package's core mechanism
+(summarizable_module.py:69-135 + safe_summary_writer.py + the bottleneck /
+histogram summaries of multiscale_blueprint.py:100-118): a `Summarizer`
+that any component can emit scalars/images/histograms into, gated by an
+enabled (prefix, step) window so disabled summaries cost nothing.
+
+Functional-JAX twist: instead of injecting a summarizer object through an
+nn.Module tree (impossible under jit), the TRAINER computes summary
+tensors from the jitted step's outputs (`Out`, metrics) on the host, and
+the helpers here turn them into TB-ready payloads:
+
+- bottleneck_image: grayscale symbol map per bottleneck channel
+  (multiscale_blueprint.py new_bottleneck_summary)
+- symbol_histogram: observed vs predicted symbol distributions
+  (vis/histogram_plotter.py p_x vs p_y bars)
+- SafeWriter: uint8/float-safe wrapper over torch's SummaryWriter with
+  graceful no-op when tensorboard is unavailable.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class Summarizer:
+    """Collects (tag -> payload) while enabled; flushes to a writer."""
+
+    def __init__(self, writer=None):
+        self.writer = writer
+        self._enabled_prefix: Optional[str] = None
+        self._step = 0
+
+    def enable(self, prefix: str, step: int):
+        self._enabled_prefix = prefix
+        self._step = step
+
+    def disable(self):
+        self._enabled_prefix = None
+
+    @property
+    def enabled(self) -> bool:
+        return self._enabled_prefix is not None and self.writer is not None
+
+    def _tag(self, tag: str) -> str:
+        return f"{self._enabled_prefix}/{tag}"
+
+    def scalar(self, tag: str, value):
+        if self.enabled:
+            self.writer.add_scalar(self._tag(tag), float(value), self._step)
+
+    def scalars(self, values: Dict[str, float]):
+        for k, v in values.items():
+            self.scalar(k, v)
+
+    def image(self, tag: str, img_hw3_or_hw: np.ndarray):
+        if not self.enabled:
+            return
+        img = to_image(img_hw3_or_hw)
+        self.writer.add_image(self._tag(tag), img, self._step,
+                              dataformats="HWC")
+
+    def histogram(self, tag: str, values: np.ndarray):
+        if self.enabled:
+            self.writer.add_histogram(self._tag(tag), np.asarray(values),
+                                      self._step)
+
+
+def to_image(arr: np.ndarray) -> np.ndarray:
+    """Any 2D/3D float or int array -> uint8 HWC (vis/image_summaries)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    if arr.dtype != np.uint8:
+        lo, hi = float(arr.min()), float(arr.max())
+        arr = (arr - lo) / (hi - lo + 1e-9) * 255.0
+        arr = arr.astype(np.uint8)
+    return arr
+
+
+def bottleneck_image(syms_hw: np.ndarray, L: int) -> np.ndarray:
+    """Grayscale bottleneck symbol map in [0,255] uint8."""
+    s = np.asarray(syms_hw, np.float32)
+    assert s.min() >= 0 and s.max() < L, (s.min(), s.max(), L)
+    return (s / L * 255.0).astype(np.uint8)
+
+
+def symbol_histogram(syms: np.ndarray, L: int) -> np.ndarray:
+    """Normalized observed symbol distribution p_x, (L,)."""
+    counts = np.bincount(np.asarray(syms).reshape(-1), minlength=L)
+    return counts / max(1, counts.sum())
+
+
+def add_scale_summaries(summarizer: Summarizer, out, q_L: int):
+    """Per-scale bottleneck images + symbol histograms from an `Out`.
+
+    Mirrors MultiscaleBlueprint.add_image_summaries
+    (multiscale_blueprint.py:100-118): one grayscale image per bottleneck
+    channel, plus the observed symbol distribution.
+    """
+    if not summarizer.enabled:
+        return
+    for scale in range(1, len(out.S)):
+        syms = np.asarray(out.S[scale])[0]  # (h, w, C)
+        for c in range(syms.shape[-1]):
+            summarizer.image(f"bn/{scale}/c{c}",
+                             bottleneck_image(syms[..., c], q_L))
+        summarizer.histogram(f"bn_syms/{scale}",
+                             np.asarray(out.S[scale]).reshape(-1))
+
+
+class SafeWriter:
+    """TB writer facade: silently no-ops if tensorboard is missing and
+    coerces payload dtypes (reference SafeSummaryWriter)."""
+
+    def __init__(self, log_dir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._w = SummaryWriter(log_dir)
+        except Exception:
+            self._w = None
+
+    def add_scalar(self, tag, value, step):
+        if self._w is not None:
+            self._w.add_scalar(tag, float(value), step)
+
+    def add_image(self, tag, img, step, dataformats="HWC"):
+        if self._w is not None:
+            self._w.add_image(tag, to_image(img), step,
+                              dataformats=dataformats)
+
+    def add_histogram(self, tag, values, step):
+        if self._w is not None:
+            self._w.add_histogram(tag, np.asarray(values), step)
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()

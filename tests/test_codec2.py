@@ -1,0 +1,90 @@
+"""End-to-end tests for the format-v2 (fully on-device) codec."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from l3c_tpu.codec.bitcoding import Bitcoding, DecodeError
+from l3c_tpu.codec.bitcoding2 import TpuBitcoding
+from l3c_tpu.config import MsConfig, EncConfig, DecConfig, QConfig, ProbConfig
+from l3c_tpu.models.network import MultiscaleNetwork
+
+
+def small_cfg():
+    return MsConfig(num_scales=3, Cf=16,
+                    enc=EncConfig(num_blocks=2), dec=DecConfig(num_blocks=2),
+                    q=QConfig(C=5, L=25), prob=ProbConfig(K=3))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    net = MultiscaleNetwork(cfg)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)))
+    return cfg, net, params
+
+
+def _rand_img(h, w, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(1, h, w, 3)).astype(np.uint8)
+
+
+def test_v2_roundtrip_bit_exact(setup, tmp_path):
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    img = _rand_img(32, 32)
+    p = str(tmp_path / "img.l3c")
+    bpsp = bc.encode(img, p)
+    assert 0 < bpsp < 30
+    out = bc.decode(p)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_v2_roundtrip_padded_nonsquare(setup, tmp_path):
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    img = _rand_img(19, 45, seed=1)
+    p = str(tmp_path / "img.l3c")
+    bc.encode(img, p)
+    np.testing.assert_array_equal(bc.decode(p), img)
+
+
+def test_v2_bitrate_close_to_v1(setup, tmp_path):
+    """Same model, same image: v1 (host C++) and v2 (on-device) bitstream
+    sizes must agree within a few percent (same mixture, same 16-bit
+    quantization; only stream framing differs)."""
+    cfg, net, params = setup
+    img = _rand_img(24, 24, seed=2)
+    bc1 = Bitcoding(cfg, net, params)
+    bc2 = TpuBitcoding(cfg, net, params)
+    p1, p2 = str(tmp_path / "a.l3c"), str(tmp_path / "b.l3c")
+    bpsp1 = bc1.encode(img, p1)
+    bpsp2 = bc2.encode(img, p2)
+    assert abs(bpsp2 / bpsp1 - 1) < 0.10, (bpsp1, bpsp2)
+    np.testing.assert_array_equal(bc1.decode(p1), img)
+    np.testing.assert_array_equal(bc2.decode(p2), img)
+
+
+def test_v2_rejects_v1_files(setup, tmp_path):
+    cfg, net, params = setup
+    img = _rand_img(16, 16, seed=3)
+    p = str(tmp_path / "v1.l3c")
+    Bitcoding(cfg, net, params).encode(img, p)
+    with pytest.raises(DecodeError, match="format v1"):
+        TpuBitcoding(cfg, net, params).decode(p)
+
+
+def test_v2_corrupt_stream_raises(setup, tmp_path):
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    img = _rand_img(16, 16, seed=4)
+    p = str(tmp_path / "img.l3c")
+    bc.encode(img, p)
+    blob = bytearray(open(p, "rb").read())
+    blob[6] = 99  # clobber header reserved/scales region
+    blob[5] = 99
+    bad = str(tmp_path / "bad.l3c")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(DecodeError):
+        bc.decode(bad)

@@ -1,0 +1,144 @@
+"""Tests for the on-TPU vectorized rANS codec (runs on CPU backend).
+
+Round-trip properties mirror tests/test_coder.py for the host backend;
+additionally the table spec (cummax + l, implicit top) is validated.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from l3c_tpu.models import dmll
+from l3c_tpu.ops import tpu_coder as tc
+
+
+def _rand_table(rng, n, L):
+    """Random valid tables: strictly increasing uint16 rows, freq>=1."""
+    raw = rng.randint(0, 65536 - L, size=(n, L))
+    raw.sort(axis=1)
+    q = np.maximum.accumulate(raw, axis=1) + np.arange(L)
+    return jnp.asarray(q.astype(np.uint16))
+
+
+@pytest.mark.parametrize("n,L", [(1000, 25), (777, 256), (50, 2), (1, 25)])
+def test_rans_roundtrip_random_tables(n, L):
+    rng = np.random.RandomState(0)
+    lay = tc.layout_for(n)
+    table = _rand_table(rng, n, L)
+    syms = jnp.asarray(rng.randint(0, L, size=n).astype(np.int32))
+    words, lens = jax.jit(
+        lambda t, s: tc.encode_channel(t, s, L, lay))(table, syms)
+    out = jax.jit(
+        lambda t, w: tc.decode_channel(t, w, L, lay, n))(table, words)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
+    assert int(jnp.max(lens)) <= tc.T_STREAM + 2
+
+
+def test_rans_skewed_distribution():
+    """Sharp tables + worst-case symbols (minimum-probability bins)."""
+    rng = np.random.RandomState(1)
+    n, L = 2000, 25
+    lay = tc.layout_for(n)
+    q = np.zeros((n, L), np.int64)
+    q[:, 1:] = 65536 - L  # all mass on symbol 0; others freq==1
+    q = np.maximum.accumulate(q, 1) + np.arange(L)
+    table = jnp.asarray(q.astype(np.uint16))
+    syms = np.full(n, L - 1, np.int32)
+    syms[::3] = 0
+    syms[::7] = 13
+    words, lens = tc.encode_channel(table, jnp.asarray(syms), L, lay)
+    out = tc.decode_channel(table, words, L, lay, n)
+    np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_uniform_channel_roundtrip():
+    rng = np.random.RandomState(2)
+    for L in (2, 25, 256):
+        n = 3000
+        lay = tc.layout_for(n)
+        syms = jnp.asarray(rng.randint(0, L, size=n).astype(np.int32))
+        words, lens = tc.encode_uniform_channel(syms, L, lay)
+        out = tc.decode_uniform_channel(words, L, lay, n)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
+        # bits/sym ~ log2 L (+ per-stream flush overhead)
+        bits = float(jnp.sum(lens)) * 16 / n
+        assert bits < np.log2(L) + 16 * 2 * lay.n_streams / n + 0.2
+
+
+def test_bitrate_tracks_entropy():
+    """Biased table + matching symbols => near-entropy bitrate."""
+    rng = np.random.RandomState(3)
+    n, L = 20000, 25
+    lay = tc.layout_for(n)
+    p = rng.dirichlet(np.full(L, 0.3))
+    cum = np.concatenate([[0], np.cumsum(p)])[:L]
+    q = np.maximum.accumulate(
+        np.round(cum * (65536 - L)).astype(np.int64)) + np.arange(L)
+    table = jnp.asarray(np.broadcast_to(q.astype(np.uint16), (n, L)).copy())
+    syms = rng.choice(L, size=n, p=p).astype(np.int32)
+    words, lens = tc.encode_channel(table, jnp.asarray(syms), L, lay)
+    entropy_bits = -np.sum(np.log2(p[syms]))
+    actual_bits = float(jnp.sum(lens)) * 16
+    overhead = actual_bits / entropy_bits - 1
+    assert overhead < 0.06, (actual_bits, entropy_bits)
+    out = tc.decode_channel(table, words, L, lay, n)
+    np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_build_cdf_table_spec():
+    """Tables are strictly increasing with freq>=1 everywhere, and match
+    a numpy reference of the formula."""
+    rng = np.random.RandomState(4)
+    n, K, L = 64, 4, 25
+    pi = rng.dirichlet(np.ones(K), size=n).astype(np.float32)
+    mu = rng.uniform(-1, 1, (n, K)).astype(np.float32)
+    inv_s = np.exp(-rng.uniform(-5, 1, (n, K))).astype(np.float32)
+    bw = 2.0 / 24
+    table = np.asarray(tc.build_cdf_table(
+        jnp.asarray(pi), jnp.asarray(mu), jnp.asarray(inv_s),
+        -1.0, bw, L)).astype(np.int64)
+    diffs = np.diff(np.concatenate(
+        [table, np.full((n, 1), 65536)], axis=1), axis=1)
+    assert (diffs >= 1).all()
+    # numpy reference
+    t = np.arange(L) * bw + (-1.0 - bw / 2)
+    c = (pi[:, :, None] / (1 + np.exp(-(t - mu[:, :, None])
+                                      * inv_s[:, :, None]))).sum(1)
+    q = np.floor(np.minimum(c, 1.0) * (65536 - L) + 0.5)
+    q = np.maximum.accumulate(q, 1) + np.arange(L)
+    np.testing.assert_allclose(table, q, atol=1)  # float sigmoid slack
+
+
+def test_mixture_tables_lambda_conditioning():
+    """RGB channel tables shift with decoded channel values."""
+    spec = dmll.DMLLSpec(rgb_scale=True)
+    K = 2
+    rng = np.random.RandomState(5)
+    l = jnp.asarray(rng.randn(1, 4, 4, dmll.non_shared_get_Kp(K, 3))
+                    .astype(np.float32))
+    dec0 = jnp.zeros((1, 4, 4, 3))
+    dec255 = jnp.full((1, 4, 4, 3), 255.0)
+    t0 = np.asarray(tc.mixture_tables_for_channel(spec, l, 1, 3, dec0))
+    t1 = np.asarray(tc.mixture_tables_for_channel(spec, l, 1, 3, dec255))
+    assert not np.array_equal(t0, t1)
+    # channel 0 ignores decoded values
+    t0 = np.asarray(tc.mixture_tables_for_channel(spec, l, 0, 3, dec0))
+    t1 = np.asarray(tc.mixture_tables_for_channel(spec, l, 0, 3, dec255))
+    np.testing.assert_array_equal(t0, t1)
+
+
+def test_encode_matches_decode_through_mixture_tables():
+    """Full channel pipeline: params -> tables -> encode -> decode."""
+    spec = dmll.DMLLSpec(rgb_scale=False, x_min=-1, x_max=1, L=25)
+    K, C = 3, 5
+    rng = np.random.RandomState(6)
+    H = W = 16
+    l = jnp.asarray(rng.randn(1, H, W, dmll.non_shared_get_Kp(K, C))
+                    .astype(np.float32))
+    lay = tc.layout_for(H * W)
+    for c in range(C):
+        table = tc.mixture_tables_for_channel(spec, l, c, C, None)
+        syms = jnp.asarray(rng.randint(0, 25, H * W).astype(np.int32))
+        words, lens = tc.encode_channel(table, syms, 25, lay)
+        out = tc.decode_channel(table, words, 25, lay, H * W)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
