@@ -12,20 +12,27 @@ jitted function SHARED by encode and decode, so both sides read
 bit-identical uint16 tables; the remaining stages (rANS scans) are pure
 uint32 integer programs whose results are exact by construction.
 
+Scale coding structure (one file "unit" per line):
+  unit 0:            coarsest bottleneck, uniform prior, all channels
+                     in ONE fused scan
+  per scale coarse->fine, one unit each:
+    bn scales:       all q.C channels fused (independent given l)
+    RGB scale:       encode fuses all 3 channels (targets known);
+                     decode replays channel slices sequentially so the
+                     lambda autoregression can condition on decoded
+                     channels — streams are channel-aligned to allow it
+
 File format v2:
-  magic 'L3TP' | version=2 u8 | num_scales u8 | reserved u8 | flags u8
+  magic 'L3TP' | version=2 u8 | num_scales u8 | T_stream u16
   | padL,padR,padT,padB u16*4 | padded H u16 | W u16
-  per coded unit (uniform coarsest, then per scale coarse->fine, each
-  channel 0..C-1):
-    n_streams u32 | lengths u16*n_streams (words) | words u16 each
-  magic separator u32 after each scale group.
-Stream geometry (T=256 symbols/stream) is derived from the image shape.
+  per unit: n_streams u32 | lengths u16*n_streams (words) | words u16[]
+  magic separator u32 after every unit.
 """
 from __future__ import annotations
 
 import os
 import struct
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,34 +75,35 @@ class TpuBitcoding:
                 p, s, bn, decF, method=MultiscaleNetwork.get_P))
             for s in range(cfg.num_scales)
         }
-        # (scale-kind, channel) -> table builder; static args via closure
-        self._table = {}
-        for c in range(3):
-            self._table[("rgb", c)] = jax.jit(
-                lambda l, dec, c=c: tc.mixture_tables_for_channel(
-                    self._rgb, l, c, 3, dec))
-        for c in range(cfg.q.C):
-            self._table[("bn", c)] = jax.jit(
-                lambda l, dec, c=c: tc.mixture_tables_for_channel(
-                    self._bn, l, c, cfg.q.C, None))
+        self._tables_bn = jax.jit(
+            lambda l: tc.mixture_tables_all_channels(
+                self._bn, l, cfg.q.C, None))
+        self._table_rgb = {
+            c: jax.jit(lambda l, dec, c=c: tc.mixture_tables_for_channel(
+                self._rgb, l, c, 3, dec))
+            for c in range(3)
+        }
+        self._tables_rgb_all = jax.jit(
+            lambda l, dec: tc.mixture_tables_all_channels(
+                self._rgb, l, 3, dec))
 
         # ---- integer coder jits (side-specific; exact by construction)
-        self._enc_unit = jax.jit(
-            lambda table, syms, L, n: tc.encode_channel(
-                table, syms, L, tc.layout_for(n)),
-            static_argnums=(2, 3))
-        self._dec_unit = jax.jit(
-            lambda table, words, L, n: tc.decode_channel(
-                table, words, L, tc.layout_for(n), n),
-            static_argnums=(2, 3))
+        self._encode_unit = jax.jit(
+            lambda tables, syms, L, n, C: tc.encode_channels(
+                tables, syms, L, tc.layout_for(n, C)),
+            static_argnums=(2, 3, 4))
+        self._decode_unit = jax.jit(
+            lambda tables, words, L, n, C: tc.decode_channels(
+                tables, words, L, tc.layout_for(n, C)),
+            static_argnums=(2, 3, 4))
         self._enc_uni = jax.jit(
-            lambda syms, L, n: tc.encode_uniform_channel(
-                syms, L, tc.layout_for(n)),
-            static_argnums=(1, 2))
+            lambda syms, L, n, C: tc.encode_uniform(
+                syms, L, tc.layout_for(n, C)),
+            static_argnums=(1, 2, 3))
         self._dec_uni = jax.jit(
-            lambda words, L, n: tc.decode_uniform_channel(
-                words, L, tc.layout_for(n), n),
-            static_argnums=(1, 2))
+            lambda words, L, n, C: tc.decode_uniform(
+                words, L, tc.layout_for(n, C)),
+            static_argnums=(1, 2, 3))
 
     def _enc_forward_impl(self, params, x):
         enc_outs = self.net.apply(params, layers.sub_rgb_mean(x),
@@ -123,17 +131,18 @@ class TpuBitcoding:
         _, H, W, _ = padded.shape
         x = jnp.asarray(padded.astype(np.float32))
         S = self.cfg.num_scales
+        C_bn = self.cfg.q.C
 
         with self.times.run("[-] encode forwardpass"):
             per_scale = self._enc_forward(self.params, x)
 
         units: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
-        # coarsest: uniform prior over all channels flattened
-        syms_c = per_scale[S - 1][0]
-        n_u = int(np.prod(syms_c.shape))
+        # coarsest: uniform prior over all channels, one fused scan
+        syms_c = per_scale[S - 1][0]                    # (1,h,w,C)
+        n_u = syms_c.shape[1] * syms_c.shape[2]
         with self.times.run("uniform encode"):
-            units.append(self._enc_uni(syms_c.reshape(-1), self._bn.L,
-                                       n_u))
+            units.append(self._enc_uni(
+                _chw_flat(syms_c), self._bn.L, n_u, C_bn))
 
         dec_F_prev = None
         bn_prev = per_scale[S - 1][1]
@@ -143,37 +152,34 @@ class TpuBitcoding:
                     l, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
                 if scale == 0:
-                    kind, L, C = "rgb", self._rgb.L, 3
                     target = jnp.asarray(padded.astype(np.int32))
                     decoded_vals = target.astype(jnp.float32)
+                    with self.times.run("tables+rans"):
+                        tables = self._tables_rgb_all(l, decoded_vals)
+                        units.append(self._encode_unit(
+                            tables, _chw_flat(target), self._rgb.L,
+                            H * W, 3))
                 else:
-                    kind, L, C = "bn", self._bn.L, self.cfg.q.C
                     target = per_scale[scale - 1][0]
-                    decoded_vals = None
                     bn_prev = per_scale[scale - 1][1]
-                n = target.shape[1] * target.shape[2]
-                with self.times.run("tables+rans"):
-                    for c in range(C):
-                        table = self._table[(kind, c)](l, decoded_vals)
-                        units.append(self._enc_unit(
-                            table, target[..., c].reshape(-1), L, n))
+                    n = target.shape[1] * target.shape[2]
+                    with self.times.run("tables+rans"):
+                        tables = self._tables_bn(l)
+                        units.append(self._encode_unit(
+                            tables, _chw_flat(target), self._bn.L, n,
+                            C_bn))
 
         # ---- single sync point: fetch all units, then write the file
         with self.times.run("fetch+write"):
             units_np = jax.device_get(units)
             with open(pout, "wb") as fout:
                 fout.write(MAGIC)
-                fout.write(struct.pack("<BBBB", self.VERSION, S, 0, 0))
+                fout.write(struct.pack("<BBH", self.VERSION, S,
+                                       tc.T_STREAM))
                 fout.write(struct.pack("<4H", *pad_tuple))
                 fout.write(struct.pack("<HH", H, W))
-                _write_unit(fout, *units_np[0])
-                fout.write(struct.pack("<I", MAGIC_SEP))
-                i = 1
-                for scale in reversed(range(S)):
-                    C = 3 if scale == 0 else self.cfg.q.C
-                    for c in range(C):
-                        _write_unit(fout, *units_np[i])
-                        i += 1
+                for words, lens in units_np:
+                    _write_unit(fout, words, lens)
                     fout.write(struct.pack("<I", MAGIC_SEP))
 
         return os.path.getsize(pout) * 8 / float(np.prod(padded.shape))
@@ -189,73 +195,88 @@ class TpuBitcoding:
         with open(pin, "rb") as fin:
             if fin.read(4) != MAGIC:
                 raise DecodeError("bad magic")
-            version, S, _, _flags = struct.unpack("<BBBB", fin.read(4))
+            version, S, t_stream = struct.unpack("<BBH", fin.read(4))
             if version != self.VERSION:
                 raise DecodeError(f"file is format v{version}; this is "
                                   f"the v{self.VERSION} (TPU) decoder")
             if S != self.cfg.num_scales:
                 raise DecodeError("scale count mismatch")
+            if t_stream != tc.T_STREAM:
+                raise DecodeError(
+                    f"stream length {t_stream} != built-in {tc.T_STREAM}")
             pad_tuple = struct.unpack("<4H", fin.read(8))
             H, W = struct.unpack("<HH", fin.read(4))
 
-            units = [_read_unit(fin)]
-            _expect_sep(fin)
-            for scale in reversed(range(S)):
-                C = 3 if scale == 0 else self.cfg.q.C
-                for _ in range(C):
-                    units.append(_read_unit(fin))
+            units = []
+            for _ in range(S + 1):
+                units.append(_read_unit(fin))
                 _expect_sep(fin)
 
         C_bn = self.cfg.q.C
         h, w = H >> S, W >> S
         with self.times.run("uniform decode"):
-            n_u = C_bn * h * w
-            syms = self._dec_uni(jnp.asarray(units[0]), self._bn.L, n_u)
-            syms = syms.reshape(1, h, w, C_bn)
+            syms = self._dec_uni(jnp.asarray(units[0]), self._bn.L,
+                                 h * w, C_bn)                # (C, h*w)
+            syms = _chw_unflat(syms, h, w)
         bn_prev = self._bn_levels[syms]
 
         dec_F_prev = None
         img = None
-        i = 1
-        for scale in reversed(range(S)):
+        for i, scale in enumerate(reversed(range(S)), start=1):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
                     l, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
                 hs, ws = H >> scale, W >> scale
-                kind = "rgb" if scale == 0 else "bn"
-                L = self._rgb.L if scale == 0 else self._bn.L
-                C = 3 if scale == 0 else C_bn
-                n = hs * ws
-                decoded = jnp.zeros((1, hs, ws, C), jnp.float32)
-                syms_ch = []
+                words = jnp.asarray(units[i])
                 with self.times.run("tables+rans"):
-                    for c in range(C):
-                        table = self._table[(kind, c)](
-                            l, decoded if scale == 0 else None)
-                        s_c = self._dec_unit(table,
-                                             jnp.asarray(units[i]), L, n)
-                        i += 1
-                        s_c = s_c.reshape(1, hs, ws)
-                        syms_ch.append(s_c)
-                        if scale == 0:
-                            decoded = decoded.at[..., c].set(
-                                s_c.astype(jnp.float32))
-                        else:
-                            decoded = decoded.at[..., c].set(
-                                self._bn_levels[s_c])
-                if scale == 0:
-                    img = jnp.stack(syms_ch, axis=-1)[0]
-                else:
-                    bn_prev = decoded
+                    if scale == 0:
+                        img = self._decode_rgb(l, words, hs, ws)
+                    else:
+                        tables = self._tables_bn(l)
+                        syms = self._decode_unit(
+                            tables, words, self._bn.L, hs * ws, C_bn)
+                        bn_prev = self._bn_levels[
+                            _chw_unflat(syms, hs, ws)]
 
         img = np.asarray(img).astype(np.uint8)[None]
         if any(pad_tuple):
             img = pad_mod.undo_pad(img, *pad_tuple)
         return img
 
+    def _decode_rgb(self, l, words, hs, ws):
+        """Channel-sequential RGB decode with lambda conditioning.
+
+        The fused encode wrote channel-aligned streams; decode slices
+        channel c's stream rows and decodes them against a table built
+        from the already-decoded channels.
+        """
+        n = hs * ws
+        lay1 = tc.layout_for(n, 1)
+        decoded = jnp.zeros((1, hs, ws, 3), jnp.float32)
+        ch_syms = []
+        for c in range(3):
+            table = self._table_rgb[c](l, decoded)
+            w_c = words[c * lay1.ns_c: (c + 1) * lay1.ns_c]
+            s_c = self._decode_unit(table, w_c, self._rgb.L, n, 1)
+            s_c = s_c.reshape(1, hs, ws)
+            ch_syms.append(s_c)
+            decoded = decoded.at[..., c].set(s_c.astype(jnp.float32))
+        return jnp.stack(ch_syms, axis=-1)[0]
+
 
 # ------------------------------------------------------------------ io
+
+
+def _chw_flat(nhwc: jnp.ndarray) -> jnp.ndarray:
+    """(1,H,W,C) -> (C*H*W,) channel-major int32."""
+    return nhwc[0].transpose(2, 0, 1).reshape(-1).astype(jnp.int32)
+
+
+def _chw_unflat(syms_cn: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(C, n) -> (1,h,w,C)."""
+    C = syms_cn.shape[0]
+    return syms_cn.reshape(C, h, w).transpose(1, 2, 0)[None]
 
 
 def _write_unit(fout, words: np.ndarray, lengths: np.ndarray):

@@ -7,17 +7,23 @@ managed-memory design, torchac_kernel.cu:80-84), the ENTIRE entropy coder
 runs on the TPU:
 
 - Each channel's pixels are split into many independent rANS streams
-  (T=256 symbols each => ~1000+ streams for a 512x512 scale). One
+  (T symbols each => hundreds-to-thousands of streams per scale). One
   lax.scan steps all streams in lockstep; every scan step is a wide VPU
   op across streams. Sequential-per-stream, parallel-across-streams.
+  UNROLL symbols are coded per scan step so the scan's fixed per-step
+  cost amortizes (T/UNROLL steps total).
 - rANS32: uint32 state, 16-bit probabilities, 16-bit word renorm. At
   most one emitted/consumed word per symbol (state < 2^32 => one shift
   reaches < 2^16 <= freq<<16). All-integer => bit-exact by construction;
   no float determinism contract needed between encode and decode.
 - Quantized CDF tables are computed on device (models.dmll params ->
-  uint16 rows) and NEVER leave HBM. Decode finds each symbol with a
-  vectorized compare/sum/min/max "searchsorted" over the row — no
-  gathers in the hot loop.
+  uint16 rows, or the fused Pallas kernel) and NEVER leave HBM. Both
+  the encoder's (start, freq) lookup and the decoder's searchsorted are
+  vectorized compare/sum/min/max reductions — no gathers in hot loops.
+- Channels of a scale are coded in ONE fused scan whenever dependencies
+  allow (always on encode; on decode for all non-autoregressive scales).
+  Streams are per-channel aligned so the RGB decode can still process
+  channel slices sequentially for the lambda conditioning.
 - Only the compressed words + per-stream lengths cross the host link.
 
 Table spec (format v2): for L symbols, row entries l = 0..L-1:
@@ -29,7 +35,6 @@ provably-monotone sigmoid — here the table is computed once and shared).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -38,35 +43,55 @@ import numpy as np
 
 from ..models import dmll as dmll_mod
 
-T_STREAM = 256          # symbols per rANS stream
+T_STREAM = 512          # symbols per rANS stream (file header records it)
+UNROLL = 4              # symbols coded per scan step
 RANS_L = 1 << 16        # state lower bound
 PROB_BITS = 16
 
 
 class StreamLayout(NamedTuple):
-    n_streams: int
-    n_pad: int            # padded symbol slots in the last stream
+    """Stream geometry for C channels of n symbols each (per-channel
+    aligned: channel c owns stream rows [c*ns_c, (c+1)*ns_c))."""
+    C: int
+    n: int                # symbols per channel
+    T: int
 
     @property
-    def padded(self) -> int:
-        return self.n_streams * T_STREAM
+    def ns_c(self) -> int:
+        return -(-self.n // self.T)
+
+    @property
+    def lanes(self) -> int:
+        return self.C * self.ns_c
+
+    @property
+    def pad(self) -> int:
+        return self.ns_c * self.T - self.n
 
 
-def layout_for(n_symbols: int) -> StreamLayout:
-    ns = -(-n_symbols // T_STREAM)
-    return StreamLayout(n_streams=ns, n_pad=ns * T_STREAM - n_symbols)
+def layout_for(n: int, C: int = 1, T: int = T_STREAM) -> StreamLayout:
+    return StreamLayout(C=C, n=n, T=T)
 
 
-def _to_streams(flat: jnp.ndarray, lay: StreamLayout) -> jnp.ndarray:
-    """(n,) -> (NS, T) with zero padding."""
-    return jnp.pad(flat, (0, lay.n_pad)).reshape(lay.n_streams, T_STREAM)
+def _to_streams(flat_cn: jnp.ndarray, lay: StreamLayout) -> jnp.ndarray:
+    """(C, n) or (C*n,) -> (lanes, T) with per-channel zero padding."""
+    x = flat_cn.reshape(lay.C, lay.n)
+    x = jnp.pad(x, ((0, 0), (0, lay.pad)))
+    return x.reshape(lay.lanes, lay.T)
+
+
+def _from_streams(s: jnp.ndarray, lay: StreamLayout) -> jnp.ndarray:
+    """(lanes, T) -> (C, n)."""
+    return s.reshape(lay.C, lay.ns_c * lay.T)[:, : lay.n]
 
 
 def _mask_for(lay: StreamLayout) -> np.ndarray:
-    m = np.ones((lay.n_streams, T_STREAM), bool)
-    if lay.n_pad:
-        m.reshape(-1)[-lay.n_pad:] = False
-    return m
+    m = np.ones((lay.ns_c, lay.T), bool).reshape(-1)
+    if lay.pad:
+        m[-lay.pad:] = False
+    m = np.broadcast_to(m.reshape(1, lay.ns_c, lay.T),
+                        (lay.C, lay.ns_c, lay.T))
+    return np.ascontiguousarray(m).reshape(lay.lanes, lay.T)
 
 
 # --------------------------------------------------------------- tables
@@ -106,19 +131,19 @@ def uniform_cdf_row(L: int) -> np.ndarray:
 
 def table_lookup_symbol(table: jnp.ndarray, syms: jnp.ndarray, L: int
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(start, freq) u32 for known symbols (encode side).
+    """(start, freq) u32 for known symbols — compare-based, no gathers.
 
-    table: (..., L) uint16, syms: (...,) int32.
+    table: (..., L) uint16, syms: (...,) int32. start = max over entries
+    with index <= s; high = min over entries with index > s (or 65536).
     """
-    t32 = table.astype(jnp.uint32)
-    start = jnp.take_along_axis(t32, syms[..., None].astype(jnp.int32),
-                                axis=-1)[..., 0]
-    top = jnp.uint32(65536)
-    nxt = jnp.take_along_axis(
-        t32, jnp.minimum(syms + 1, L - 1)[..., None].astype(jnp.int32),
-        axis=-1)[..., 0]
-    high = jnp.where(syms == L - 1, top, nxt)
-    return start, high - start
+    row = table.astype(jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    le = idx <= syms[..., None]
+    start = jnp.max(jnp.where(le, row, 0), axis=-1)
+    top = jnp.int32(65536)
+    high = jnp.min(jnp.where(le, top, row), axis=-1)
+    high = jnp.where(syms == L - 1, top, jnp.minimum(high, top))
+    return start.astype(jnp.uint32), (high - start).astype(jnp.uint32)
 
 
 # ------------------------------------------------------------- encoding
@@ -132,39 +157,48 @@ def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
     Returns (words (NS, T+2) uint16, lengths (NS,) int32 in words).
     Words are already in DECODE order: [state_lo, state_hi, renorm words].
     """
-    ns = start.shape[0]
-    # rANS encodes in reverse symbol order
-    start_r = start[:, ::-1].T        # (T, NS) scan xs
-    freq_r = freq[:, ::-1].T
-    mask_r = mask[:, ::-1].T
+    ns, T = start.shape
+    n_steps = T // UNROLL
+    assert n_steps * UNROLL == T, (T, UNROLL)
 
-    def step(x, xs):
-        st, f, m = xs
-        emit = jnp.logical_and(m, x >= (f << 16))
-        w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-        x1 = jnp.where(emit, x >> 16, x)
-        fs = jnp.maximum(f, 1)  # padded slots carry f=0; avoid div-by-0
-        x2 = ((x1 // fs) << 16) + (x1 % fs) + st
-        x = jnp.where(m, x2, x)
-        return x, (emit, w)
+    # rANS encodes in reverse symbol order; arrange (steps, U, NS)
+    def arrange(a):
+        return a[:, ::-1].T.reshape(n_steps, UNROLL, ns)
+
+    xs = (arrange(start), arrange(freq), arrange(mask))
+
+    def step(x, xs_t):
+        st_u, f_u, m_u = xs_t
+        emits = []
+        words = []
+        for u in range(UNROLL):
+            st, f, m = st_u[u], f_u[u], m_u[u]
+            emit = jnp.logical_and(m, x >= (f << 16))
+            w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+            x1 = jnp.where(emit, x >> 16, x)
+            fs = jnp.maximum(f, 1)  # padded slots carry f=0
+            x2 = ((x1 // fs) << 16) + (x1 % fs) + st
+            x = jnp.where(m, x2, x)
+            emits.append(emit)
+            words.append(w)
+        return x, (jnp.stack(emits), jnp.stack(words))
 
     x0 = jnp.full((ns,), RANS_L, jnp.uint32)
-    xf, (emits, words) = jax.lax.scan(step, x0, (start_r, freq_r, mask_r))
-    # emits/words: (T, NS) in chronological (reversed-symbol) order.
-    # Final stream order: [state words] + reverse(chronological).
-    emits = emits.T                   # (NS, T)
-    words = words.T
+    xf, (emits, words) = jax.lax.scan(step, x0, xs)
+    # (steps, U, NS) -> (NS, T) chronological (reversed-symbol) order
+    emits = emits.reshape(T, ns).T
+    words = words.reshape(T, ns).T
     n_emit = jnp.sum(emits, axis=1).astype(jnp.int32)       # (NS,)
     # word from chrono position t lands at index 2 + (n_emit - cumsum_t)
     cum = jnp.cumsum(emits.astype(jnp.int32), axis=1)       # inclusive
     pos = 2 + (n_emit[:, None] - cum)
-    pos = jnp.where(emits, pos, T_STREAM + 2)               # drop slot
-    out = jnp.zeros((ns, T_STREAM + 3), jnp.uint16)
+    pos = jnp.where(emits, pos, T + 2)                      # drop slot
+    out = jnp.zeros((ns, T + 3), jnp.uint16)
     rows = jnp.broadcast_to(jnp.arange(ns)[:, None], pos.shape)
     out = out.at[rows, pos].set(words, mode="drop")
     out = out.at[:, 0].set((xf & jnp.uint32(0xFFFF)).astype(jnp.uint16))
     out = out.at[:, 1].set((xf >> 16).astype(jnp.uint16))
-    return out[:, : T_STREAM + 2], n_emit + 2
+    return out[:, : T + 2], n_emit + 2
 
 
 # ------------------------------------------------------------- decoding
@@ -172,84 +206,99 @@ def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
 
 def rans_decode(tables_t: jnp.ndarray, words: jnp.ndarray,
                 mask_t: jnp.ndarray, L: int) -> jnp.ndarray:
-    """Decode (NS,) streams against per-position CDF rows.
+    """Decode streams against per-position CDF rows.
 
-    tables_t: (T, NS, L) uint16 rows (scan xs — position-major)
+    tables_t: (steps, U, NS, L) uint16 rows (scan xs)
     words:    (NS, W) uint16 stream words (decode order)
-    mask_t:   (T, NS) bool
+    mask_t:   (steps, U, NS) bool
     Returns syms (NS, T) int32.
     """
     ns = words.shape[0]
+    n_steps = tables_t.shape[0]
     x0 = (words[:, 0].astype(jnp.uint32)
           | (words[:, 1].astype(jnp.uint32) << 16))
     cur0 = jnp.full((ns,), 2, jnp.int32)
-
     top = jnp.int32(65536)
 
-    def step(carry, xs):
+    def step(carry, xs_t):
         x, cur = carry
-        row16, m = xs
-        row = row16.astype(jnp.int32)                       # (NS, L)
-        cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)     # (NS,)
-        le = row <= cf[:, None]                             # (NS, L)
-        s = jnp.maximum(jnp.sum(le, axis=1) - 1, 0)
-        start = jnp.max(jnp.where(le, row, 0), axis=1)
-        high = jnp.minimum(jnp.min(jnp.where(le, top, row), axis=1), top)
-        high = jnp.where(s == L - 1, top, high)
-        f = (high - start).astype(jnp.uint32)
-        x1 = f * (x >> 16) + (x & jnp.uint32(0xFFFF)) \
-            - start.astype(jnp.uint32)
-        need = x1 < RANS_L
-        w = jnp.take_along_axis(words, cur[:, None], axis=1)[:, 0]
-        x2 = jnp.where(need, (x1 << 16) | w.astype(jnp.uint32), x1)
-        cur1 = cur + need.astype(jnp.int32)
-        x = jnp.where(m, x2, x)
-        cur = jnp.where(m, cur1, cur)
-        return (x, cur), s
+        rows_u, m_u = xs_t
+        ss = []
+        for u in range(UNROLL):
+            row = rows_u[u].astype(jnp.int32)               # (NS, L)
+            m = m_u[u]
+            cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            le = row <= cf[:, None]
+            s = jnp.maximum(jnp.sum(le, axis=1) - 1, 0)
+            start = jnp.max(jnp.where(le, row, 0), axis=1)
+            high = jnp.minimum(jnp.min(jnp.where(le, top, row), axis=1),
+                               top)
+            high = jnp.where(s == L - 1, top, high)
+            f = (high - start).astype(jnp.uint32)
+            x1 = f * (x >> 16) + (x & jnp.uint32(0xFFFF)) \
+                - start.astype(jnp.uint32)
+            need = x1 < RANS_L
+            w = jnp.take_along_axis(words, cur[:, None], axis=1)[:, 0]
+            x2 = jnp.where(need, (x1 << 16) | w.astype(jnp.uint32), x1)
+            cur1 = cur + need.astype(jnp.int32)
+            x = jnp.where(m, x2, x)
+            cur = jnp.where(m, cur1, cur)
+            ss.append(s)
+        return (x, cur), jnp.stack(ss)
 
     (_, _), syms = jax.lax.scan(step, (x0, cur0), (tables_t, mask_t))
-    return syms.T.astype(jnp.int32)                          # (NS, T)
+    return syms.reshape(n_steps * UNROLL, ns).T.astype(jnp.int32)
 
 
 # --------------------------------------------------- channel-level API
 
 
-def encode_channel(table: jnp.ndarray, syms_flat: jnp.ndarray, L: int,
-                   lay: StreamLayout):
-    """table (n, L) u16, syms (n,) int32 -> (words, lengths)."""
-    start, freq = table_lookup_symbol(table, syms_flat, L)
+def encode_channels(tables: jnp.ndarray, syms: jnp.ndarray, L: int,
+                    lay: StreamLayout):
+    """tables (C*n, L) u16, syms (C*n,) int32 -> (words, lengths).
+
+    One fused scan over all channels' streams (per-channel aligned)."""
+    start, freq = table_lookup_symbol(
+        tables.reshape(lay.C, lay.n, L), syms.reshape(lay.C, lay.n), L)
     mask = jnp.asarray(_mask_for(lay))
-    return rans_encode(_to_streams(start, lay),
-                       _to_streams(freq, lay), mask)
+    return rans_encode(_to_streams(start, lay), _to_streams(freq, lay),
+                       mask)
 
 
-def decode_channel(table: jnp.ndarray, words: jnp.ndarray, L: int,
-                   lay: StreamLayout, n: int) -> jnp.ndarray:
-    """table (n, L) u16, words (NS, T+2) -> syms (n,) int32."""
-    pad = ((0, lay.n_pad), (0, 0))
-    tables = jnp.pad(table, pad).reshape(lay.n_streams, T_STREAM, -1)
-    tables_t = tables.transpose(1, 0, 2)                     # (T, NS, L)
-    mask_t = jnp.asarray(_mask_for(lay)).T
+def _arrange_tables(tables: jnp.ndarray, lay_rows: int, T: int,
+                    L: int) -> jnp.ndarray:
+    """(rows*T, L) padded tables -> (steps, U, rows, L) scan xs."""
+    n_steps = T // UNROLL
+    t = tables.reshape(lay_rows, n_steps, UNROLL, L)
+    return t.transpose(1, 2, 0, 3)
+
+
+def decode_channels(tables: jnp.ndarray, words: jnp.ndarray, L: int,
+                    lay: StreamLayout) -> jnp.ndarray:
+    """tables (C*n, L) u16, words (lanes, T+2) -> syms (C, n) int32."""
+    t = tables.reshape(lay.C, lay.n, L)
+    t = jnp.pad(t, ((0, 0), (0, lay.pad), (0, 0)))
+    tables_t = _arrange_tables(t.reshape(lay.lanes * lay.T, L),
+                               lay.lanes, lay.T, L)
+    mask = jnp.asarray(_mask_for(lay))
+    mask_t = mask.reshape(lay.lanes, lay.T // UNROLL, UNROLL)\
+        .transpose(1, 2, 0)
     syms = rans_decode(tables_t, words, mask_t, L)
-    return syms.reshape(-1)[:n]
+    return _from_streams(syms, lay)
 
 
-def encode_uniform_channel(syms_flat: jnp.ndarray, L: int,
-                           lay: StreamLayout):
+def encode_uniform(syms: jnp.ndarray, L: int, lay: StreamLayout):
+    """All channels under the uniform prior, one fused scan."""
     row = jnp.asarray(uniform_cdf_row(L))
-    n = syms_flat.shape[0]
-    table = jnp.broadcast_to(row, (n, L))
-    return encode_channel(table, syms_flat, L, lay)
+    tables = jnp.broadcast_to(row, (lay.C * lay.n, L))
+    return encode_channels(tables, syms.reshape(-1), L, lay)
 
 
-def decode_uniform_channel(words: jnp.ndarray, L: int, lay: StreamLayout,
-                           n: int) -> jnp.ndarray:
+def decode_uniform(words: jnp.ndarray, L: int, lay: StreamLayout
+                   ) -> jnp.ndarray:
     row = jnp.asarray(uniform_cdf_row(L))
-    table = jnp.broadcast_to(row, (lay.padded, L))
-    tables_t = table.reshape(lay.n_streams, T_STREAM, L).transpose(1, 0, 2)
-    mask_t = jnp.asarray(_mask_for(lay)).T
-    syms = rans_decode(tables_t, words, mask_t, L)
-    return syms.reshape(-1)[:n]
+    tables = jnp.broadcast_to(row, (lay.C * lay.n, L))
+    return decode_channels(tables, words, L, lay)
 
 
 # ----------------------------------------------- mixture-scale helpers
@@ -277,3 +326,13 @@ def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
     table = build_cdf_table(pi[..., c, :], mu_c, inv_s[..., c, :],
                             spec.x_min, spec.bin_width, spec.L)
     return table.reshape(-1, spec.L)
+
+
+def mixture_tables_all_channels(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
+                                C: int,
+                                decoded: Optional[jnp.ndarray]
+                                ) -> jnp.ndarray:
+    """Tables for ALL channels stacked channel-major: (C*H*W, L) u16."""
+    tabs = [mixture_tables_for_channel(spec, l, c, C, decoded)
+            for c in range(C)]
+    return jnp.concatenate(tabs, axis=0)

@@ -37,8 +37,9 @@ def test_roundtrip_through_pallas_tables():
                         .astype(np.float32))
     table = pallas_cdf.build_cdf_table_pallas(pi, mu, inv_s, -1.0,
                                               2.0 / 24, L)
-    lay = tc.layout_for(P)
+    lay = tc.layout_for(P, 1)
     syms = jnp.asarray(rng.randint(0, L, P).astype(np.int32))
-    words, _ = tc.encode_channel(table, syms, L, lay)
-    out = tc.decode_channel(table, words, L, lay, P)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
+    words, _ = tc.encode_channels(table, syms, L, lay)
+    out = tc.decode_channels(table, words, L, lay)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1),
+                                  np.asarray(syms))

@@ -20,25 +20,46 @@ def _rand_table(rng, n, L):
     return jnp.asarray(q.astype(np.uint16))
 
 
-@pytest.mark.parametrize("n,L", [(1000, 25), (777, 256), (50, 2), (1, 25)])
-def test_rans_roundtrip_random_tables(n, L):
+@pytest.mark.parametrize("n,C,L", [(1000, 1, 25), (777, 5, 256),
+                                   (50, 2, 2), (1, 1, 25), (513, 3, 25)])
+def test_rans_roundtrip_random_tables(n, C, L):
     rng = np.random.RandomState(0)
-    lay = tc.layout_for(n)
-    table = _rand_table(rng, n, L)
-    syms = jnp.asarray(rng.randint(0, L, size=n).astype(np.int32))
+    lay = tc.layout_for(n, C)
+    table = _rand_table(rng, C * n, L)
+    syms = jnp.asarray(rng.randint(0, L, size=C * n).astype(np.int32))
     words, lens = jax.jit(
-        lambda t, s: tc.encode_channel(t, s, L, lay))(table, syms)
+        lambda t, s: tc.encode_channels(t, s, L, lay))(table, syms)
     out = jax.jit(
-        lambda t, w: tc.decode_channel(t, w, L, lay, n))(table, words)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
-    assert int(jnp.max(lens)) <= tc.T_STREAM + 2
+        lambda t, w: tc.decode_channels(t, w, L, lay))(table, words)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1),
+                                  np.asarray(syms))
+    assert int(jnp.max(lens)) <= lay.T + 2
+    assert words.shape == (lay.lanes, lay.T + 2)
+
+
+def test_channel_slices_decode_independently():
+    """Channel-aligned streams: decoding one channel's row slice works
+    (the property the RGB lambda decode depends on)."""
+    rng = np.random.RandomState(1)
+    n, C, L = 700, 3, 25
+    lay = tc.layout_for(n, C)
+    lay1 = tc.layout_for(n, 1)
+    table = _rand_table(rng, C * n, L)
+    syms = rng.randint(0, L, size=C * n).astype(np.int32)
+    words, _ = tc.encode_channels(table, jnp.asarray(syms), L, lay)
+    for c in range(C):
+        w_c = words[c * lay1.ns_c: (c + 1) * lay1.ns_c]
+        t_c = table[c * n: (c + 1) * n]
+        out = tc.decode_channels(t_c, w_c, L, lay1)
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1), syms[c * n: (c + 1) * n])
 
 
 def test_rans_skewed_distribution():
     """Sharp tables + worst-case symbols (minimum-probability bins)."""
     rng = np.random.RandomState(1)
     n, L = 2000, 25
-    lay = tc.layout_for(n)
+    lay = tc.layout_for(n, 1)
     q = np.zeros((n, L), np.int64)
     q[:, 1:] = 65536 - L  # all mass on symbol 0; others freq==1
     q = np.maximum.accumulate(q, 1) + np.arange(L)
@@ -46,43 +67,58 @@ def test_rans_skewed_distribution():
     syms = np.full(n, L - 1, np.int32)
     syms[::3] = 0
     syms[::7] = 13
-    words, lens = tc.encode_channel(table, jnp.asarray(syms), L, lay)
-    out = tc.decode_channel(table, words, L, lay, n)
-    np.testing.assert_array_equal(np.asarray(out), syms)
+    words, lens = tc.encode_channels(table, jnp.asarray(syms), L, lay)
+    out = tc.decode_channels(table, words, L, lay)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1), syms)
 
 
-def test_uniform_channel_roundtrip():
+def test_uniform_roundtrip():
     rng = np.random.RandomState(2)
     for L in (2, 25, 256):
-        n = 3000
-        lay = tc.layout_for(n)
-        syms = jnp.asarray(rng.randint(0, L, size=n).astype(np.int32))
-        words, lens = tc.encode_uniform_channel(syms, L, lay)
-        out = tc.decode_uniform_channel(words, L, lay, n)
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
-        # bits/sym ~ log2 L (+ per-stream flush overhead)
-        bits = float(jnp.sum(lens)) * 16 / n
-        assert bits < np.log2(L) + 16 * 2 * lay.n_streams / n + 0.2
+        n, C = 1500, 2
+        lay = tc.layout_for(n, C)
+        syms = jnp.asarray(rng.randint(0, L, size=C * n).astype(np.int32))
+        words, lens = tc.encode_uniform(syms, L, lay)
+        out = tc.decode_uniform(words, L, lay)
+        np.testing.assert_array_equal(np.asarray(out).reshape(-1),
+                                      np.asarray(syms))
+        bits = float(jnp.sum(lens)) * 16 / (C * n)
+        assert bits < np.log2(L) + 16 * 2 * lay.lanes / (C * n) + 0.2
 
 
 def test_bitrate_tracks_entropy():
     """Biased table + matching symbols => near-entropy bitrate."""
     rng = np.random.RandomState(3)
-    n, L = 20000, 25
-    lay = tc.layout_for(n)
+    n, L = 40000, 25
+    lay = tc.layout_for(n, 1)
     p = rng.dirichlet(np.full(L, 0.3))
     cum = np.concatenate([[0], np.cumsum(p)])[:L]
     q = np.maximum.accumulate(
         np.round(cum * (65536 - L)).astype(np.int64)) + np.arange(L)
     table = jnp.asarray(np.broadcast_to(q.astype(np.uint16), (n, L)).copy())
     syms = rng.choice(L, size=n, p=p).astype(np.int32)
-    words, lens = tc.encode_channel(table, jnp.asarray(syms), L, lay)
+    words, lens = tc.encode_channels(table, jnp.asarray(syms), L, lay)
     entropy_bits = -np.sum(np.log2(p[syms]))
     actual_bits = float(jnp.sum(lens)) * 16
     overhead = actual_bits / entropy_bits - 1
     assert overhead < 0.06, (actual_bits, entropy_bits)
-    out = tc.decode_channel(table, words, L, lay, n)
-    np.testing.assert_array_equal(np.asarray(out), syms)
+    out = tc.decode_channels(table, words, L, lay)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1), syms)
+
+
+def test_table_lookup_symbol_matches_rows():
+    rng = np.random.RandomState(7)
+    n, L = 500, 25
+    table = _rand_table(rng, n, L)
+    syms = jnp.asarray(rng.randint(0, L, n).astype(np.int32))
+    start, freq = tc.table_lookup_symbol(table, syms, L)
+    t = np.asarray(table, np.int64)
+    s = np.asarray(syms)
+    exp_start = t[np.arange(n), s]
+    exp_high = np.where(s == L - 1, 65536, t[np.arange(n),
+                                             np.minimum(s + 1, L - 1)])
+    np.testing.assert_array_equal(np.asarray(start), exp_start)
+    np.testing.assert_array_equal(np.asarray(freq), exp_high - exp_start)
 
 
 def test_build_cdf_table_spec():
@@ -128,17 +164,17 @@ def test_mixture_tables_lambda_conditioning():
 
 
 def test_encode_matches_decode_through_mixture_tables():
-    """Full channel pipeline: params -> tables -> encode -> decode."""
+    """Full scale pipeline: params -> fused tables -> encode -> decode."""
     spec = dmll.DMLLSpec(rgb_scale=False, x_min=-1, x_max=1, L=25)
     K, C = 3, 5
     rng = np.random.RandomState(6)
     H = W = 16
     l = jnp.asarray(rng.randn(1, H, W, dmll.non_shared_get_Kp(K, C))
                     .astype(np.float32))
-    lay = tc.layout_for(H * W)
-    for c in range(C):
-        table = tc.mixture_tables_for_channel(spec, l, c, C, None)
-        syms = jnp.asarray(rng.randint(0, 25, H * W).astype(np.int32))
-        words, lens = tc.encode_channel(table, syms, 25, lay)
-        out = tc.decode_channel(table, words, 25, lay, H * W)
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
+    lay = tc.layout_for(H * W, C)
+    tables = tc.mixture_tables_all_channels(spec, l, C, None)
+    syms = jnp.asarray(rng.randint(0, 25, C * H * W).astype(np.int32))
+    words, lens = tc.encode_channels(tables, syms, 25, lay)
+    out = tc.decode_channels(tables, words, 25, lay)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1),
+                                  np.asarray(syms))
