@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--reset_cache", action="store_true")
     p.add_argument("--config_roots", default=None,
                    help="colon-separated roots to resolve .cf names")
+    p.add_argument("--codec_backend", default="auto",
+                   choices=["auto", "tpu", "host"],
+                   help="entropy backend for --write_to_files (the "
+                        "reference's --device analog)")
     flags = p.parse_args(argv)
 
     from ..data.images import Testset
@@ -61,12 +65,14 @@ def main(argv=None):
             recursive = _parse_recursive(flags.recursive, log_dir)
             tester = MultiscaleTester.from_log_dir(
                 log_dir, config_roots, restore_itr=itr,
-                use_cache=not flags.reset_cache, recursive=recursive)
+                use_cache=not flags.reset_cache, recursive=recursive,
+                codec_backend=flags.codec_backend)
             for ts in testsets:
                 if flags.write_to_files:
                     res = tester.write_to_files(
                         ts, flags.write_to_files,
-                        time_report=flags.time_report)
+                        time_report=flags.time_report,
+                        compare_theory=flags.compare_theory)
                 else:
                     res = tester.test(ts)
                 rows.append((os.path.basename(log_dir),

@@ -32,6 +32,8 @@ def main(argv=None):
                    help="iterations to train (default: until killed)")
     p.add_argument("--log_train", type=int, default=100)
     p.add_argument("--log_val", type=int, default=500)
+    p.add_argument("--log_train_heavy", type=int, default=0,
+                   help="bottleneck image/histogram summaries interval")
     p.add_argument("--keep_tmp_itr", type=int, default=250)
     p.add_argument("--keep_every", type=int, default=10)
     p.add_argument("--keep_tmp_last", type=int, default=3)
@@ -119,7 +121,8 @@ def main(argv=None):
     num_itr = flags.num_itr if flags.num_itr is not None else 10 ** 9
     try:
         trainer.train(num_itr, log_every=flags.log_train,
-                      val_every=flags.log_val)
+                      val_every=flags.log_val,
+                      heavy_every=flags.log_train_heavy)
     except KeyboardInterrupt:
         print("interrupted; saving final checkpoint")
         trainer.saver.save(__import__("jax").device_get(trainer.state),

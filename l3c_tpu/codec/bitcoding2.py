@@ -12,15 +12,18 @@ jitted function SHARED by encode and decode, so both sides read
 bit-identical uint16 tables; the remaining stages (rANS scans) are pure
 uint32 integer programs whose results are exact by construction.
 
-Scale coding structure (one file "unit" per line):
+BATCHED CODING: same-shape images are coded together — the network
+passes batch over the MXU and every scan gains B x more lanes at the
+same step count. Stream groups are ordered channel-major/batch-minor
+((c, b) group owns rows [(c*B + b)*ns_c, ...)), so per-image files split
+by row slices and the RGB decode still processes channel phases
+sequentially across the whole batch for the lambda autoregression.
+
+Scale coding structure (per image, one file "unit" per line):
   unit 0:            coarsest bottleneck, uniform prior, all channels
-                     in ONE fused scan
   per scale coarse->fine, one unit each:
     bn scales:       all q.C channels fused (independent given l)
-    RGB scale:       encode fuses all 3 channels (targets known);
-                     decode replays channel slices sequentially so the
-                     lambda autoregression can condition on decoded
-                     channels — streams are channel-aligned to allow it
+    RGB scale:       encode fused; decode channel-sequential
 
 File format v2:
   magic 'L3TP' | version=2 u8 | num_scales u8 | T_stream u16
@@ -32,7 +35,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +43,7 @@ import numpy as np
 
 from .. import blueprint
 from ..config import MsConfig
+from ..models import dmll as dmll_mod
 from ..models import grids, layers
 from ..models.network import MultiscaleNetwork
 from ..ops import tpu_coder as tc
@@ -48,6 +52,29 @@ from ..utils.jaxtools import ensure_compile_cache
 from ..eval.timer import NoOpTimer
 from . import auto_crop, part_suffix
 from .bitcoding import MAGIC, MAGIC_SEP, DecodeError
+
+
+def _tables_batch(spec, l, C, decoded):
+    """Tables for all channels, channel-major/batch-minor: (C*B*n, L)."""
+    tabs = []
+    for c in range(C):
+        t = tc.mixture_tables_for_channel(spec, l, c, C, decoded)
+        tabs.append(t)  # (B*n, L), batch-major
+    return jnp.concatenate(tabs, axis=0)
+
+
+def _group_syms(nhwc: jnp.ndarray) -> jnp.ndarray:
+    """(B,h,w,C) -> (C*B*n,) channel-major/batch-minor int32."""
+    B, h, w, C = nhwc.shape
+    return nhwc.transpose(3, 0, 1, 2).reshape(-1).astype(jnp.int32)
+
+
+def _ungroup_syms(flat_gn: jnp.ndarray, B: int, h: int, w: int
+                  ) -> jnp.ndarray:
+    """(C*B, n) -> (B,h,w,C)."""
+    G = flat_gn.shape[0]
+    C = G // B
+    return flat_gn.reshape(C, B, h, w).transpose(1, 2, 3, 0)
 
 
 class TpuBitcoding:
@@ -76,33 +103,31 @@ class TpuBitcoding:
             for s in range(cfg.num_scales)
         }
         self._tables_bn = jax.jit(
-            lambda l: tc.mixture_tables_all_channels(
-                self._bn, l, cfg.q.C, None))
+            lambda l: _tables_batch(self._bn, l, cfg.q.C, None))
         self._table_rgb = {
             c: jax.jit(lambda l, dec, c=c: tc.mixture_tables_for_channel(
                 self._rgb, l, c, 3, dec))
             for c in range(3)
         }
         self._tables_rgb_all = jax.jit(
-            lambda l, dec: tc.mixture_tables_all_channels(
-                self._rgb, l, 3, dec))
+            lambda l, dec: _tables_batch(self._rgb, l, 3, dec))
 
         # ---- integer coder jits (side-specific; exact by construction)
         self._encode_unit = jax.jit(
-            lambda tables, syms, L, n, C: tc.encode_channels(
-                tables, syms, L, tc.layout_for(n, C)),
+            lambda tables, syms, L, n, G: tc.encode_channels(
+                tables, syms, L, tc.layout_for(n, G)),
             static_argnums=(2, 3, 4))
         self._decode_unit = jax.jit(
-            lambda tables, words, L, n, C: tc.decode_channels(
-                tables, words, L, tc.layout_for(n, C)),
+            lambda tables, words, L, n, G: tc.decode_channels(
+                tables, words, L, tc.layout_for(n, G)),
             static_argnums=(2, 3, 4))
         self._enc_uni = jax.jit(
-            lambda syms, L, n, C: tc.encode_uniform(
-                syms, L, tc.layout_for(n, C)),
+            lambda syms, L, n, G: tc.encode_uniform(
+                syms, L, tc.layout_for(n, G)),
             static_argnums=(1, 2, 3))
         self._dec_uni = jax.jit(
-            lambda words, L, n, C: tc.decode_uniform(
-                words, L, tc.layout_for(n, C)),
+            lambda words, L, n, G: tc.decode_uniform(
+                words, L, tc.layout_for(n, G)),
             static_argnums=(1, 2, 3))
 
     def _enc_forward_impl(self, params, x):
@@ -113,11 +138,10 @@ class TpuBitcoding:
     # ------------------------------------------------------------ encode
 
     def encode(self, img: np.ndarray, pout: str) -> float:
+        """Encode one image (auto-crops big ones into .partN files)."""
         if img.ndim == 3:
             img = img[None]
         assert img.shape[0] == 1 and img.shape[3] == 3, img.shape
-        assert not os.path.isfile(pout), pout
-
         if auto_crop.needs_crop(img):
             comb = auto_crop.CropLossCombinator()
             for i, crop in enumerate(auto_crop.iter_crops(img)):
@@ -125,9 +149,23 @@ class TpuBitcoding:
                                    pout + part_suffix.make_part_suffix(i))
                 comb.add(bpsp, int(np.prod(crop.shape[1:3])))
             return comb.get_bpsp()
+        return self.encode_batch([img], [pout])[0]
 
-        padded, pad_tuple = pad_mod.pad(np.asarray(img),
-                                        self.cfg.padding_fac, "constant")
+    def encode_batch(self, imgs: Sequence[np.ndarray],
+                     pouts: Sequence[str]) -> List[float]:
+        """Encode B same-shape images together (one fused device pass)."""
+        assert len(imgs) == len(pouts)
+        B = len(imgs)
+        for p in pouts:
+            assert not os.path.isfile(p), p
+        padded_list, pad_tuples = [], []
+        for im in imgs:
+            im = im if im.ndim == 4 else im[None]
+            pd, tup = pad_mod.pad(np.asarray(im), self.cfg.padding_fac,
+                                  "constant")
+            padded_list.append(pd[0])
+            pad_tuples.append(tup)
+        padded = np.stack(padded_list)
         _, H, W, _ = padded.shape
         x = jnp.asarray(padded.astype(np.float32))
         S = self.cfg.num_scales
@@ -136,13 +174,12 @@ class TpuBitcoding:
         with self.times.run("[-] encode forwardpass"):
             per_scale = self._enc_forward(self.params, x)
 
-        units: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
-        # coarsest: uniform prior over all channels, one fused scan
-        syms_c = per_scale[S - 1][0]                    # (1,h,w,C)
+        units = []
+        syms_c = per_scale[S - 1][0]
         n_u = syms_c.shape[1] * syms_c.shape[2]
         with self.times.run("uniform encode"):
-            units.append(self._enc_uni(
-                _chw_flat(syms_c), self._bn.L, n_u, C_bn))
+            units.append(self._enc_uni(_group_syms(syms_c), self._bn.L,
+                                       n_u, C_bn * B))
 
         dec_F_prev = None
         bn_prev = per_scale[S - 1][1]
@@ -154,11 +191,12 @@ class TpuBitcoding:
                 if scale == 0:
                     target = jnp.asarray(padded.astype(np.int32))
                     decoded_vals = target.astype(jnp.float32)
+                    n = H * W
                     with self.times.run("tables+rans"):
                         tables = self._tables_rgb_all(l, decoded_vals)
                         units.append(self._encode_unit(
-                            tables, _chw_flat(target), self._rgb.L,
-                            H * W, 3))
+                            tables, _group_syms(target), self._rgb.L,
+                            n, 3 * B))
                 else:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
@@ -166,23 +204,41 @@ class TpuBitcoding:
                     with self.times.run("tables+rans"):
                         tables = self._tables_bn(l)
                         units.append(self._encode_unit(
-                            tables, _chw_flat(target), self._bn.L, n,
-                            C_bn))
+                            tables, _group_syms(target), self._bn.L, n,
+                            C_bn * B))
 
-        # ---- single sync point: fetch all units, then write the file
-        with self.times.run("fetch+write"):
-            units_np = jax.device_get(units)
-            with open(pout, "wb") as fout:
-                fout.write(MAGIC)
-                fout.write(struct.pack("<BBH", self.VERSION, S,
-                                       tc.T_STREAM))
-                fout.write(struct.pack("<4H", *pad_tuple))
-                fout.write(struct.pack("<HH", H, W))
-                for words, lens in units_np:
-                    _write_unit(fout, words, lens)
-                    fout.write(struct.pack("<I", MAGIC_SEP))
-
-        return os.path.getsize(pout) * 8 / float(np.prod(padded.shape))
+        # ---- fetch: lengths first (tiny), then only the used columns
+        # (bucketed to multiples of 32 so the device-side slice compiles
+        # once per bucket, not per distinct max length)
+        with self.times.run("fetch"):
+            lens_np = jax.device_get([u[1] for u in units])
+            words_np = []
+            for (words, _), lens in zip(units, lens_np):
+                full = words.shape[1]
+                ml = min(-(-max(2, int(lens.max())) // 32) * 32, full)
+                words_np.append(np.asarray(words[:, :ml]))
+        with self.times.run("write"):
+            bpsps = []
+            for b, pout in enumerate(pouts):
+                with open(pout, "wb") as fout:
+                    fout.write(MAGIC)
+                    fout.write(struct.pack("<BBH", self.VERSION, S,
+                                           tc.T_STREAM))
+                    fout.write(struct.pack("<4H", *pad_tuples[b]))
+                    fout.write(struct.pack("<HH", H, W))
+                    for ui, (words, lens) in enumerate(
+                            zip(words_np, lens_np)):
+                        C = C_bn if ui == 0 else (
+                            3 if ui == len(words_np) - 1 else C_bn)
+                        ns_c = words.shape[0] // (C * B)
+                        w_b = words.reshape(C, B, ns_c, -1)[:, b]
+                        l_b = lens.reshape(C, B, ns_c)[:, b]
+                        _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
+                                    l_b.reshape(-1))
+                        fout.write(struct.pack("<I", MAGIC_SEP))
+                bpsps.append(os.path.getsize(pout) * 8
+                             / float(np.prod(padded[b].shape)))
+            return bpsps
 
     # ------------------------------------------------------------ decode
 
@@ -191,106 +247,114 @@ class TpuBitcoding:
             parts = [self.decode(p, _recurse_part=False)
                      for p in part_suffix.iter_part_paths(pin)]
             return auto_crop.stitch(parts)
+        return self.decode_batch([pin])[0]
 
-        with open(pin, "rb") as fin:
-            if fin.read(4) != MAGIC:
-                raise DecodeError("bad magic")
-            version, S, t_stream = struct.unpack("<BBH", fin.read(4))
-            if version != self.VERSION:
-                raise DecodeError(f"file is format v{version}; this is "
-                                  f"the v{self.VERSION} (TPU) decoder")
-            if S != self.cfg.num_scales:
-                raise DecodeError("scale count mismatch")
-            if t_stream != tc.T_STREAM:
-                raise DecodeError(
-                    f"stream length {t_stream} != built-in {tc.T_STREAM}")
-            pad_tuple = struct.unpack("<4H", fin.read(8))
-            H, W = struct.unpack("<HH", fin.read(4))
-
-            units = []
-            for _ in range(S + 1):
-                units.append(_read_unit(fin))
-                _expect_sep(fin)
+    def decode_batch(self, pins: Sequence[str]) -> List[np.ndarray]:
+        """Decode B same-shape v2 files together."""
+        B = len(pins)
+        headers, per_file_units = [], []
+        for pin in pins:
+            hdr, units = _read_file(pin, self.cfg.num_scales)
+            headers.append(hdr)
+            per_file_units.append(units)
+        S, H, W = headers[0]["S"], headers[0]["H"], headers[0]["W"]
+        for hdr in headers:
+            if (hdr["S"], hdr["H"], hdr["W"]) != (S, H, W):
+                raise DecodeError("decode_batch needs same-shape files")
 
         C_bn = self.cfg.q.C
+        n_units = S + 1
+
+        # reassemble channel-major/batch-minor word arrays per unit;
+        # upload only a 32-column bucket of the used width, pad to the
+        # static (lanes, T+2) shape on device (cheap, keeps the scan
+        # jits at one shape)
+        def unit_words(ui: int, C: int) -> jnp.ndarray:
+            ws = [per_file_units[b][ui] for b in range(B)]
+            ns_c = ws[0].shape[0] // C
+            full = tc.T_STREAM + 2
+            cols = max(2, max(w.shape[1] for w in ws))
+            cols_b = min(-(-cols // 32) * 32, full)
+            out = np.zeros((C * B * ns_c, cols_b), np.uint16)
+            for c in range(C):
+                for b in range(B):
+                    w = ws[b][c * ns_c: (c + 1) * ns_c]
+                    out[(c * B + b) * ns_c: (c * B + b + 1) * ns_c,
+                        : w.shape[1]] = w
+            dev = jnp.asarray(out)
+            if cols_b < full:
+                dev = jnp.pad(dev, ((0, 0), (0, full - cols_b)))
+            return dev
+
         h, w = H >> S, W >> S
         with self.times.run("uniform decode"):
-            syms = self._dec_uni(jnp.asarray(units[0]), self._bn.L,
-                                 h * w, C_bn)                # (C, h*w)
-            syms = _chw_unflat(syms, h, w)
+            syms = self._dec_uni(unit_words(0, C_bn), self._bn.L,
+                                 h * w, C_bn * B)
+            syms = _ungroup_syms(syms, B, h, w)
         bn_prev = self._bn_levels[syms]
 
         dec_F_prev = None
-        img = None
+        imgs = None
         for i, scale in enumerate(reversed(range(S)), start=1):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
                     l, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
-                hs, ws = H >> scale, W >> scale
-                words = jnp.asarray(units[i])
+                hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
                     if scale == 0:
-                        img = self._decode_rgb(l, words, hs, ws)
+                        words = unit_words(i, 3)
+                        imgs = self._decode_rgb(l, words, B, hs, ws_)
                     else:
+                        words = unit_words(i, C_bn)
                         tables = self._tables_bn(l)
                         syms = self._decode_unit(
-                            tables, words, self._bn.L, hs * ws, C_bn)
+                            tables, words, self._bn.L, hs * ws_,
+                            C_bn * B)
                         bn_prev = self._bn_levels[
-                            _chw_unflat(syms, hs, ws)]
+                            _ungroup_syms(syms, B, hs, ws_)]
 
-        img = np.asarray(img).astype(np.uint8)[None]
-        if any(pad_tuple):
-            img = pad_mod.undo_pad(img, *pad_tuple)
-        return img
+        imgs = np.asarray(imgs).astype(np.uint8)
+        out = []
+        for b in range(B):
+            im = imgs[b:b + 1]
+            tup = headers[b]["pad"]
+            if any(tup):
+                im = pad_mod.undo_pad(im, *tup)
+            out.append(im)
+        return out
 
-    def _decode_rgb(self, l, words, hs, ws):
-        """Channel-sequential RGB decode with lambda conditioning.
-
-        The fused encode wrote channel-aligned streams; decode slices
-        channel c's stream rows and decodes them against a table built
-        from the already-decoded channels.
-        """
+    def _decode_rgb(self, l, words, B, hs, ws):
+        """Channel-sequential RGB decode with lambda conditioning."""
         n = hs * ws
-        lay1 = tc.layout_for(n, 1)
-        decoded = jnp.zeros((1, hs, ws, 3), jnp.float32)
+        layB = tc.layout_for(n, B)
+        ns_c = layB.ns_c
+        decoded = jnp.zeros((B, hs, ws, 3), jnp.float32)
         ch_syms = []
         for c in range(3):
-            table = self._table_rgb[c](l, decoded)
-            w_c = words[c * lay1.ns_c: (c + 1) * lay1.ns_c]
-            s_c = self._decode_unit(table, w_c, self._rgb.L, n, 1)
-            s_c = s_c.reshape(1, hs, ws)
+            table = self._table_rgb[c](l, decoded)    # (B*n, L)
+            w_c = words[c * B * ns_c: (c + 1) * B * ns_c]
+            s_c = self._decode_unit(table, w_c, self._rgb.L, n, B)
+            s_c = s_c.reshape(B, hs, ws)
             ch_syms.append(s_c)
             decoded = decoded.at[..., c].set(s_c.astype(jnp.float32))
-        return jnp.stack(ch_syms, axis=-1)[0]
+        return jnp.stack(ch_syms, axis=-1)
 
 
 # ------------------------------------------------------------------ io
 
 
-def _chw_flat(nhwc: jnp.ndarray) -> jnp.ndarray:
-    """(1,H,W,C) -> (C*H*W,) channel-major int32."""
-    return nhwc[0].transpose(2, 0, 1).reshape(-1).astype(jnp.int32)
-
-
-def _chw_unflat(syms_cn: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """(C, n) -> (1,h,w,C)."""
-    C = syms_cn.shape[0]
-    return syms_cn.reshape(C, h, w).transpose(1, 2, 0)[None]
-
-
 def _write_unit(fout, words: np.ndarray, lengths: np.ndarray):
-    """words (NS, T+2) u16 padded; lengths (NS,) words used."""
-    ns = words.shape[0]
+    """words (NS, >=max(len)) u16 padded; lengths (NS,) words used."""
+    ns, cols = words.shape
     fout.write(struct.pack("<I", ns))
     fout.write(lengths.astype("<u2").tobytes())
-    payload = np.concatenate(
-        [words[i, : int(lengths[i])] for i in range(ns)])
-    fout.write(payload.astype("<u2").tobytes())
+    mask = np.arange(cols)[None, :] < lengths[:, None]
+    fout.write(words[mask].astype("<u2").tobytes())  # stream-major
 
 
-def _read_unit(fin) -> np.ndarray:
-    """-> words (NS, T+2) u16 padded for the decoder."""
+def _read_unit(fin):
+    """-> (words (NS, max_len) u16 padded, lengths) for the decoder."""
     ns, = struct.unpack("<I", fin.read(4))
     if ns == 0 or ns > 1 << 24:
         raise DecodeError(f"bad stream count {ns}")
@@ -299,13 +363,33 @@ def _read_unit(fin) -> np.ndarray:
     payload = np.frombuffer(fin.read(2 * total), "<u2")
     if payload.size != total:
         raise DecodeError("truncated stream payload")
-    words = np.zeros((ns, tc.T_STREAM + 2), np.uint16)
-    off = 0
-    for i2 in range(ns):
-        ln = int(lengths[i2])
-        words[i2, :ln] = payload[off:off + ln]
-        off += ln
+    cols = int(lengths.max()) if ns else 2
+    words = np.zeros((ns, cols), np.uint16)
+    mask = np.arange(cols)[None, :] < lengths[:, None]
+    words[mask] = payload
     return words
+
+
+def _read_file(pin: str, expect_scales: int):
+    with open(pin, "rb") as fin:
+        if fin.read(4) != MAGIC:
+            raise DecodeError("bad magic")
+        version, S, t_stream = struct.unpack("<BBH", fin.read(4))
+        if version != TpuBitcoding.VERSION:
+            raise DecodeError(f"file is format v{version}; this is "
+                              f"the v{TpuBitcoding.VERSION} (TPU) decoder")
+        if S != expect_scales:
+            raise DecodeError("scale count mismatch")
+        if t_stream != tc.T_STREAM:
+            raise DecodeError(
+                f"stream length {t_stream} != built-in {tc.T_STREAM}")
+        pad_tuple = struct.unpack("<4H", fin.read(8))
+        H, W = struct.unpack("<HH", fin.read(4))
+        units = []
+        for _ in range(S + 1):
+            units.append(_read_unit(fin))
+            _expect_sep(fin)
+    return {"S": S, "H": H, "W": W, "pad": pad_tuple}, units
 
 
 def _expect_sep(fin):

@@ -93,7 +93,10 @@ class MultiscaleTester:
         self.codec_backend = codec_backend
         self.cache = (TestOutputCache(log_dir)
                       if (log_dir and use_cache) else None)
-        self.times = StackTimer(skip=1)
+        # skip=0: include every image in timing reports (callers can
+        # discard the first-image compile warmup from the report's
+        # context; skipping it outright loses single-image reports)
+        self.times = StackTimer(skip=0)
 
         def fwd(params, x, num_sp):
             out = net.apply(params, x, train=False,
@@ -164,8 +167,13 @@ class MultiscaleTester:
     # ------------------------------------------------------- round-trip
 
     def write_to_files(self, testset: Testset, out_dir: str,
-                       time_report: Optional[str] = None) -> TestResult:
-        """Encode+decode every image, assert bit-exact, return real bpsp."""
+                       time_report: Optional[str] = None,
+                       compare_theory: bool = False) -> TestResult:
+        """Encode+decode every image, assert bit-exact, return real bpsp.
+
+        compare_theory also evaluates the cross-entropy bpsp per image
+        and prints the actual-vs-theory overhead (bitcoding.py:112-121).
+        """
         os.makedirs(out_dir, exist_ok=True)
         bc = make_bitcoding(self.cfg, self.net, self.params,
                             times=self.times, backend=self.codec_backend)
@@ -184,6 +192,11 @@ class MultiscaleTester:
                     else pout + ".part0")
             if not np.array_equal(out, img):
                 raise EncodeError(f"round-trip mismatch for {p}")
+            if compare_theory:
+                theory = self._bpsp_of_image(p)
+                print(f"{os.path.basename(p)}: actual {bpsp:.4f} vs "
+                      f"theory {theory:.4f} "
+                      f"[{(bpsp / theory - 1) * 100:+.2f}%]")
             result[os.path.basename(p)] = bpsp
             self.times.next_iteration()
         if time_report:

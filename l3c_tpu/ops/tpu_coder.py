@@ -48,6 +48,14 @@ UNROLL = 4              # symbols coded per scan step
 RANS_L = 1 << 16        # state lower bound
 PROB_BITS = 16
 
+# The CODING distribution keeps only the top CODER_TOPK mixture
+# components per pixel (renormalized). Trained mixtures concentrate mass
+# in 1-3 components, so the bitrate cost is negligible while the
+# dominant table-build cost drops by K/CODER_TOPK. Encode and decode
+# share the table function, so this is a pure spec choice (same role as
+# the host backend's PI_SKIP threshold).
+CODER_TOPK = 4
+
 
 class StreamLayout(NamedTuple):
     """Stream geometry for C channels of n symbols each (per-channel
@@ -323,7 +331,14 @@ def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
         else:
             mu_c = (mu_c + lam[..., 1, :] * decoded[..., 0:1]
                     + lam[..., 2, :] * decoded[..., 1:2])
-    table = build_cdf_table(pi[..., c, :], mu_c, inv_s[..., c, :],
+    pi_c, inv_c = pi[..., c, :], inv_s[..., c, :]
+    K = pi_c.shape[-1]
+    if K > CODER_TOPK:
+        top_pi, idx = jax.lax.top_k(pi_c, CODER_TOPK)
+        pi_c = top_pi / jnp.sum(top_pi, axis=-1, keepdims=True)
+        mu_c = jnp.take_along_axis(mu_c, idx, axis=-1)
+        inv_c = jnp.take_along_axis(inv_c, idx, axis=-1)
+    table = build_cdf_table(pi_c, mu_c, inv_c,
                             spec.x_min, spec.bin_width, spec.L)
     return table.reshape(-1, spec.L)
 

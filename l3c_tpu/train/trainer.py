@@ -150,7 +150,8 @@ class Trainer:
         return jnp.asarray(batch)
 
     def train(self, num_itr: int, log_every: int = 100,
-              val_every: int = 500, log_fn=print) -> Dict:
+              val_every: int = 500, heavy_every: int = 0,
+              log_fn=print) -> Dict:
         it = iter(self.train_batches)
         t0 = time.time()
         imgs = 0
@@ -166,6 +167,9 @@ class Trainer:
                 log_fn(Values.format(i + 1, metrics, imgs / max(dt, 1e-9)))
                 self._write_summaries("train", metrics, i + 1)
                 t0, imgs = time.time(), 0
+            if (heavy_every and (i + 1) % heavy_every == 0
+                    and self.summary_writer is not None):
+                self._write_heavy_summaries(batch, i + 1)
             if val_every and (i + 1) % val_every == 0 and self.val_batches:
                 val_bpsp = self.validation_loop()
                 log_fn(f"{i + 1:8d} VAL bpsp={val_bpsp:.4f}")
@@ -175,6 +179,17 @@ class Trainer:
             if self.saver is not None and self.saver.save_due(i + 1):
                 self.saver.save(jax.device_get(self.state), i + 1)
         return metrics
+
+    def _write_heavy_summaries(self, batch, step: int):
+        """Bottleneck images + symbol histograms (the reference's
+        log_train_heavy summaries, multiscale_blueprint.py:100-118)."""
+        from ..utils.summarizer import Summarizer, add_scale_summaries
+        out = self.net.apply(self.state["params"],
+                             jnp.asarray(batch[:1], jnp.float32),
+                             train=False)
+        s = Summarizer(self.summary_writer)
+        s.enable("train_heavy", step)
+        add_scale_summaries(s, out, self.cfg.q.L)
 
     def _write_summaries(self, prefix: str, metrics: Dict, step: int):
         if self.summary_writer is None:

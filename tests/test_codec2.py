@@ -88,3 +88,23 @@ def test_v2_corrupt_stream_raises(setup, tmp_path):
     open(bad, "wb").write(bytes(blob))
     with pytest.raises(DecodeError):
         bc.decode(bad)
+
+
+def test_v2_batch_encode_decode(setup, tmp_path):
+    """B same-shape images coded in one fused pass; files interchange
+    with the single-image API."""
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    imgs = [_rand_img(24, 16, seed=10 + i) for i in range(3)]
+    pouts = [str(tmp_path / f"b{i}.l3c") for i in range(3)]
+    bpsps = bc.encode_batch(imgs, pouts)
+    assert len(bpsps) == 3 and all(b > 0 for b in bpsps)
+    outs = bc.decode_batch(pouts)
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, im)
+    # a batched file decodes alone, and a single-encoded file matches
+    np.testing.assert_array_equal(bc.decode(pouts[1]), imgs[1])
+    p_single = str(tmp_path / "single.l3c")
+    bc.encode(imgs[0], p_single)
+    np.testing.assert_array_equal(bc.decode(p_single), imgs[0])
+    assert open(p_single, "rb").read() == open(pouts[0], "rb").read()

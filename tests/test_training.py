@@ -148,3 +148,17 @@ def test_restore_roundtrip(tmp_path):
     p2 = jax.tree_util.tree_leaves(tr2.state["params"])
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_heavy_summaries_emit_images(tmp_path):
+    from tests.test_utils import FakeWriter
+    cfg = _tiny_cfg()
+    dl = DlConfig(batchsize_train=2, batchsize_val=2, crop_size=16)
+    net = MultiscaleNetwork(cfg)
+    gen = _synthetic_batches(2, 16)
+    w = FakeWriter()
+    tr = Trainer(cfg, dl, net, gen, epoch_len=10, summary_writer=w)
+    tr.train(num_itr=2, log_every=1, val_every=0, heavy_every=2,
+             log_fn=lambda *_: None)
+    assert any(k.startswith("train_heavy/bn/") for k in w.images)
+    assert any(k.startswith("train/costs/") for k in w.scalars)
