@@ -32,7 +32,9 @@ def main():
     from l3c_tpu.utils.jaxtools import ensure_compile_cache
 
     ensure_compile_cache()
-    cfg = MsConfig()  # flagship cr.cf architecture
+    # flagship cr.cf architecture; bfloat16 conv stacks (MXU full rate,
+    # final mixture projection stays float32 — measured bitrate-neutral)
+    cfg = MsConfig(compute_dtype="bfloat16")
     net = MultiscaleNetwork(cfg)
     rng = np.random.RandomState(0)
     params = jax.jit(net.init)(jax.random.PRNGKey(0),

@@ -174,12 +174,17 @@ class TpuBitcoding:
         with self.times.run("[-] encode forwardpass"):
             per_scale = self._enc_forward(self.params, x)
 
-        units = []
+        baseline = self.cfg.rgb_bicubic_baseline
+        units = []       # (words, lens)
+        units_C = []     # channels per unit, for the per-image file split
         syms_c = per_scale[S - 1][0]
         n_u = syms_c.shape[1] * syms_c.shape[2]
+        uni_L = self._rgb.L if baseline else self._bn.L
+        uni_C = 3 if baseline else C_bn
         with self.times.run("uniform encode"):
-            units.append(self._enc_uni(_group_syms(syms_c), self._bn.L,
-                                       n_u, C_bn * B))
+            units.append(self._enc_uni(_group_syms(syms_c), uni_L,
+                                       n_u, uni_C * B))
+            units_C.append(uni_C)
 
         dec_F_prev = None
         bn_prev = per_scale[S - 1][1]
@@ -190,22 +195,25 @@ class TpuBitcoding:
                         self.params, bn_prev, dec_F_prev)
                 if scale == 0:
                     target = jnp.asarray(padded.astype(np.int32))
-                    decoded_vals = target.astype(jnp.float32)
-                    n = H * W
-                    with self.times.run("tables+rans"):
-                        tables = self._tables_rgb_all(l, decoded_vals)
-                        units.append(self._encode_unit(
-                            tables, _group_syms(target), self._rgb.L,
-                            n, 3 * B))
                 else:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
-                    n = target.shape[1] * target.shape[2]
-                    with self.times.run("tables+rans"):
+                n = target.shape[1] * target.shape[2]
+                with self.times.run("tables+rans"):
+                    if scale == 0 or baseline:
+                        # RGB targets: lambda autoregression over 3 chans
+                        tables = self._tables_rgb_all(
+                            l, target.astype(jnp.float32))
+                        units.append(self._encode_unit(
+                            tables, _group_syms(target), self._rgb.L,
+                            n, 3 * B))
+                        units_C.append(3)
+                    else:
                         tables = self._tables_bn(l)
                         units.append(self._encode_unit(
                             tables, _group_syms(target), self._bn.L, n,
                             C_bn * B))
+                        units_C.append(C_bn)
 
         # ---- fetch: lengths first (tiny), then only the used columns
         # (bucketed to multiples of 32 so the device-side slice compiles
@@ -228,8 +236,7 @@ class TpuBitcoding:
                     fout.write(struct.pack("<HH", H, W))
                     for ui, (words, lens) in enumerate(
                             zip(words_np, lens_np)):
-                        C = C_bn if ui == 0 else (
-                            3 if ui == len(words_np) - 1 else C_bn)
+                        C = units_C[ui]
                         ns_c = words.shape[0] // (C * B)
                         w_b = words.reshape(C, B, ns_c, -1)[:, b]
                         l_b = lens.reshape(C, B, ns_c)[:, b]
@@ -286,12 +293,20 @@ class TpuBitcoding:
                 dev = jnp.pad(dev, ((0, 0), (0, full - cols_b)))
             return dev
 
+        baseline = self.cfg.rgb_bicubic_baseline
+        mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
         h, w = H >> S, W >> S
         with self.times.run("uniform decode"):
-            syms = self._dec_uni(unit_words(0, C_bn), self._bn.L,
-                                 h * w, C_bn * B)
-            syms = _ungroup_syms(syms, B, h, w)
-        bn_prev = self._bn_levels[syms]
+            if baseline:
+                syms = self._dec_uni(unit_words(0, 3), self._rgb.L,
+                                     h * w, 3 * B)
+                syms = _ungroup_syms(syms, B, h, w)
+                bn_prev = syms.astype(jnp.float32) - mean
+            else:
+                syms = self._dec_uni(unit_words(0, C_bn), self._bn.L,
+                                     h * w, C_bn * B)
+                syms = _ungroup_syms(syms, B, h, w)
+                bn_prev = self._bn_levels[syms]
 
         dec_F_prev = None
         imgs = None
@@ -302,9 +317,13 @@ class TpuBitcoding:
                         self.params, bn_prev, dec_F_prev)
                 hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
-                    if scale == 0:
+                    if scale == 0 or baseline:
                         words = unit_words(i, 3)
-                        imgs = self._decode_rgb(l, words, B, hs, ws_)
+                        rgb = self._decode_rgb(l, words, B, hs, ws_)
+                        if scale == 0:
+                            imgs = rgb
+                        else:
+                            bn_prev = rgb.astype(jnp.float32) - mean
                     else:
                         words = unit_words(i, C_bn)
                         tables = self._tables_bn(l)

@@ -69,6 +69,9 @@ class MsConfig:
     learned_L: bool = False
     after_q1x1: bool = True
     x4_down_in_scale0: bool = False
+    # 'float32' (reference parity) or 'bfloat16' (MXU-rate convs; the
+    # mixture parameters land in bf16, costing a little bitrate)
+    compute_dtype: str = "float32"
 
     @property
     def padding_fac(self) -> int:

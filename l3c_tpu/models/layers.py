@@ -31,8 +31,12 @@ RGB_MEAN = np.asarray((0.4488, 0.4371, 0.4040), np.float32)
 
 
 def conv(features: int, kernel_size: int, stride: int = 1, rate: int = 1,
-         use_bias: bool = True, name: Optional[str] = None) -> nn.Conv:
-    """default_conv equivalent: same-pad (dilation-aware), NHWC."""
+         use_bias: bool = True, name: Optional[str] = None,
+         dtype=None) -> nn.Conv:
+    """default_conv equivalent: same-pad (dilation-aware), NHWC.
+
+    dtype: compute dtype (params stay float32); bfloat16 runs the MXU
+    at full rate."""
     pad = kernel_size // 2 if rate == 1 else rate
     return nn.Conv(
         features=features,
@@ -42,6 +46,7 @@ def conv(features: int, kernel_size: int, stride: int = 1, rate: int = 1,
         kernel_dilation=(rate, rate),
         use_bias=use_bias,
         kernel_init=torch_kernel_init,
+        dtype=dtype,
         name=name,
     )
 
@@ -50,12 +55,15 @@ class ResBlock(nn.Module):
     """conv-ReLU-conv with identity skip (edsr.py:63-89, bn/atrous off)."""
     n_feats: int
     kernel_size: int = 3
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
-        r = conv(self.n_feats, self.kernel_size, name="conv1")(x)
+        r = conv(self.n_feats, self.kernel_size, name="conv1",
+                 dtype=self.dtype)(x)
         r = nn.relu(r)
-        r = conv(self.n_feats, self.kernel_size, name="conv2")(r)
+        r = conv(self.n_feats, self.kernel_size, name="conv2",
+                 dtype=self.dtype)(r)
         return x + r
 
 
@@ -77,13 +85,15 @@ class Upsampler(nn.Module):
     """conv(C -> 4C, 3x3) + PixelShuffle(2) per x2 factor (edsr.py:92-119)."""
     n_feats: int
     scale: int = 2
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
         assert self.scale & (self.scale - 1) == 0, "power-of-two scales only"
         n_ups = int(np.log2(self.scale))
         for i in range(n_ups):
-            x = conv(4 * self.n_feats, 3, name=f"up{i}")(x)
+            x = conv(4 * self.n_feats, 3, name=f"up{i}",
+                     dtype=self.dtype)(x)
             x = pixel_shuffle(x, 2)
         return x
 
@@ -98,14 +108,17 @@ class StackedAtrousConvs(nn.Module):
     Cin: int
     Cout: int
     kernel_size: int = 3
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
         branches = [conv(self.Cin, self.kernel_size, rate=r,
-                         name=f"atrous{i}")(x)
+                         name=f"atrous{i}", dtype=self.dtype)(x)
                     for i, r in enumerate(self.rates)]
         x = jnp.concatenate(branches, axis=-1)
-        return conv(self.Cout, 1, name="lin")(x)
+        # final projection back in float32: the Kp mixture parameters
+        # keep full precision even under bfloat16 compute
+        return conv(self.Cout, 1, name="lin")(x.astype(jnp.float32))
 
 
 def sub_rgb_mean(x: jax.Array) -> jax.Array:

@@ -35,6 +35,11 @@ from ..config import MsConfig
 from . import dmll, grids, layers, quantizer
 
 
+def _cdtype(cfg: MsConfig):
+    """Compute dtype for conv stacks (params always float32)."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 class EncOut(NamedTuple):
     """Per-scale encoder result (net.py:36-41). L lives in the config."""
     bn: jax.Array     # STE bottleneck: forward==hard, grad==soft
@@ -63,11 +68,14 @@ class EDSRLikeEnc(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.down = layers.conv(c.Cf, 5, stride=2, name="down")
-        self.blocks = [layers.ResBlock(c.Cf, c.kernel_size, name=f"block{i}")
+        dt = _cdtype(c)
+        self.down = layers.conv(c.Cf, 5, stride=2, name="down", dtype=dt)
+        self.blocks = [layers.ResBlock(c.Cf, c.kernel_size, dtype=dt,
+                                       name=f"block{i}")
                        for i in range(c.enc.num_blocks)]
-        self.body_out = layers.conv(c.Cf, c.kernel_size, name="body_out")
-        self.to_q = layers.conv(c.q.C, 1, name="to_q")
+        self.body_out = layers.conv(c.Cf, c.kernel_size, name="body_out",
+                                    dtype=dt)
+        self.to_q = layers.conv(c.q.C, 1, name="to_q")  # f32: bottleneck
         lo, hi = c.q.levels_range
         self.levels = jnp.asarray(grids.levels(lo, hi, c.q.L))
 
@@ -78,7 +86,9 @@ class EDSRLikeEnc(nn.Module):
             r = b(r)
         r = self.body_out(r)
         F = x + r
-        q = quantizer.quantize(self.to_q(F), self.levels, self.cfg.q.sigma)
+        q = quantizer.quantize(
+            self.to_q(F.astype(jnp.float32)), self.levels,
+            self.cfg.q.sigma)
         return EncOut(bn=q.bn, bn_q=q.bn_q, syms=q.syms, F=F)
 
 
@@ -105,11 +115,14 @@ class EDSRDec(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.head = layers.conv(c.Cf, 1, name="head")
-        self.blocks = [layers.ResBlock(c.Cf, c.kernel_size, name=f"block{i}")
+        dt = _cdtype(c)
+        self.head = layers.conv(c.Cf, 1, name="head", dtype=dt)
+        self.blocks = [layers.ResBlock(c.Cf, c.kernel_size, dtype=dt,
+                                       name=f"block{i}")
                        for i in range(c.dec.num_blocks)]
-        self.body_out = layers.conv(c.Cf, c.kernel_size, name="body_out")
-        self.tail = layers.Upsampler(c.Cf, 2, name="tail")
+        self.body_out = layers.conv(c.Cf, c.kernel_size, name="body_out",
+                                    dtype=dt)
+        self.tail = layers.Upsampler(c.Cf, 2, dtype=dt, name="tail")
 
     def __call__(self, x, features_to_fuse=None):
         x = self.head(x)
@@ -131,7 +144,8 @@ class Head(nn.Module):
     def __call__(self, x):
         if self.rgb:
             x = x / 128.0
-        return layers.conv(self.cfg.Cf, self.cfg.kernel_size, name="conv")(x)
+        return layers.conv(self.cfg.Cf, self.cfg.kernel_size, name="conv",
+                           dtype=_cdtype(self.cfg))(x)
 
 
 class AtrousProbabilityClassifier(nn.Module):
@@ -145,7 +159,7 @@ class AtrousProbabilityClassifier(nn.Module):
         Kp = dmll.non_shared_get_Kp(self.cfg.prob.K, self.C)
         return layers.StackedAtrousConvs(
             self.rates, self.cfg.Cf, Kp, self.cfg.kernel_size,
-            name="atrous")(x)
+            dtype=_cdtype(self.cfg), name="atrous")(x)
 
 
 class MultiscaleNetwork(nn.Module):

@@ -108,3 +108,23 @@ def test_v2_batch_encode_decode(setup, tmp_path):
     bc.encode(imgs[0], p_single)
     np.testing.assert_array_equal(bc.decode(p_single), imgs[0])
     assert open(p_single, "rb").read() == open(pouts[0], "rb").read()
+
+
+def test_v2_rgb_baseline_roundtrip(tmp_path):
+    """RGB/RGB-Shared baseline models code losslessly too (the targets
+    are bicubic-downsampled RGB images at every scale)."""
+    cfg = MsConfig(
+        num_scales=2, Cf=8, rgb_bicubic_baseline=True,
+        enc=EncConfig(cls="BicubicSubsampling", num_blocks=1, feed_F=False),
+        dec=DecConfig(num_blocks=1, skip=False),
+        q=QConfig(C=3, L=5), prob=ProbConfig(K=2))
+    net = MultiscaleNetwork(cfg)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)))
+    bc = TpuBitcoding(cfg, net, params)
+    img = _rand_img(20, 24, seed=21)
+    p = str(tmp_path / "rgb.l3c")
+    bpsp = bc.encode(img, p)
+    assert 0 < bpsp < 30
+    out = bc.decode(p)
+    np.testing.assert_array_equal(out, img)
