@@ -220,3 +220,48 @@ def test_strided_conv_matches_torch():
                         "bias": jnp.asarray(b)}}
     ours = np.asarray(conv.apply(vars_, jnp.asarray(x)))
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """torch .pt -> cli.convert -> tester restores and evaluates."""
+    torch.manual_seed(1)
+    cfg = small_cfg()
+    tnet = TNet(cfg)
+    ckpt = {"net": tnet.state_dict(), "optim": {}}
+    pt = str(tmp_path / "ckpt_0000600000.pt")
+    torch.save(ckpt, pt)
+
+    # write a matching ms config the tester can recover by name
+    cfg_root = tmp_path / "configs"
+    (cfg_root / "ms").mkdir(parents=True)
+    (cfg_root / "dl").mkdir()
+    ms_p = str(cfg_root / "ms" / "small.cf")
+    open(ms_p, "w").write(
+        "num_scales = 2\nCf = 8\nenc.num_blocks = 2\ndec.num_blocks = 2\n"
+        "q.C = 4\nq.L = 25\nprob.K = 2\n")
+    dl_p = str(cfg_root / "dl" / "dl.cf")
+    open(dl_p, "w").write("crop_size = 16\n")
+
+    from l3c_tpu.cli.convert import main as convert_main
+    logs = str(tmp_path / "logs")
+    assert convert_main([pt, ms_p, logs, "--dl_config_p", dl_p]) == 0
+
+    import os
+    from l3c_tpu.eval.tester import MultiscaleTester
+    log_dir = os.path.join(logs, os.listdir(logs)[0])
+    tester = MultiscaleTester.from_log_dir(log_dir, [str(cfg_root)],
+                                           use_cache=False)
+    assert tester.restore_itr == 600000
+    # imported params drive a forward identical to the torch oracle
+    img = np.random.RandomState(7).randint(
+        0, 256, (1, 16, 16, 3)).astype(np.float32)
+    x_norm = img - 255.0 * np.asarray(layers.RGB_MEAN)
+    with torch.no_grad():
+        t_enc, t_Ps = tnet(torch.from_numpy(
+            x_norm.transpose(0, 3, 1, 2)).float())
+    out = tester.net.apply({"params": tester.params["params"]}
+                           if "params" in tester.params else tester.params,
+                           jnp.asarray(img), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out.P[0]),
+        t_Ps[0].numpy().transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-4)
