@@ -154,6 +154,14 @@ class TpuBitcoding:
     def encode_batch(self, imgs: Sequence[np.ndarray],
                      pouts: Sequence[str]) -> List[float]:
         """Encode B same-shape images together (one fused device pass)."""
+        handle = self.encode_batch_async(imgs, pouts)
+        return self.encode_batch_finish(handle)
+
+    def encode_batch_async(self, imgs: Sequence[np.ndarray],
+                           pouts: Sequence[str]):
+        """Dispatch the device work for a batch; returns a handle for
+        encode_batch_finish. Dispatch batch i+1 before finishing batch i
+        to overlap device compute with host fetch/write (pipelining)."""
         assert len(imgs) == len(pouts)
         B = len(imgs)
         for p in pouts:
@@ -215,6 +223,16 @@ class TpuBitcoding:
                             C_bn * B))
                         units_C.append(C_bn)
 
+        return dict(units=units, units_C=units_C, pouts=pouts, B=B,
+                    S=S, H=H, W=W, pad_tuples=pad_tuples,
+                    padded_shape=padded.shape)
+
+    def encode_batch_finish(self, handle) -> List[float]:
+        units, units_C = handle["units"], handle["units_C"]
+        pouts, B, S = handle["pouts"], handle["B"], handle["S"]
+        H, W = handle["H"], handle["W"]
+        pad_tuples = handle["pad_tuples"]
+        C_bn = self.cfg.q.C
         # ---- fetch: lengths first (tiny), then only the used columns
         # (bucketed to multiples of 32 so the device-side slice compiles
         # once per bucket, not per distinct max length)
@@ -243,8 +261,9 @@ class TpuBitcoding:
                         _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
                                     l_b.reshape(-1))
                         fout.write(struct.pack("<I", MAGIC_SEP))
-                bpsps.append(os.path.getsize(pout) * 8
-                             / float(np.prod(padded[b].shape)))
+                bpsps.append(
+                    os.path.getsize(pout) * 8
+                    / float(np.prod(handle["padded_shape"][1:])))
             return bpsps
 
     # ------------------------------------------------------------ decode
