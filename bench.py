@@ -84,11 +84,18 @@ def main():
             bc.encode_batch_finish(handle)
             encs.append(time.perf_counter() - t0)
             handle = nxt
+        dh = bc.decode_batch_async(
+            [os.path.join(d, f"r0_{b}.l3c") for b in range(B)])
         for i in range(n_rounds):
-            ps = [os.path.join(d, f"r{i}_{b}.l3c") for b in range(B)]
             t0 = time.perf_counter()
-            outs = bc.decode_batch(ps)
+            dn = None
+            if i + 1 < n_rounds:
+                dn = bc.decode_batch_async(
+                    [os.path.join(d, f"r{i + 1}_{b}.l3c")
+                     for b in range(B)])
+            outs = bc.decode_batch_finish(dh)
             decs.append(time.perf_counter() - t0)
+            dh = dn
             for im, o in zip(imgs, outs):
                 assert np.array_equal(o, im)
         for i in range(2):

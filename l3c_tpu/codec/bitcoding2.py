@@ -277,6 +277,11 @@ class TpuBitcoding:
 
     def decode_batch(self, pins: Sequence[str]) -> List[np.ndarray]:
         """Decode B same-shape v2 files together."""
+        return self.decode_batch_finish(self.decode_batch_async(pins))
+
+    def decode_batch_async(self, pins: Sequence[str]):
+        """Dispatch all device work for a batch of files; returns a
+        handle for decode_batch_finish (pipeline across batches)."""
         B = len(pins)
         headers, per_file_units = [], []
         for pin in pins:
@@ -352,11 +357,15 @@ class TpuBitcoding:
                         bn_prev = self._bn_levels[
                             _ungroup_syms(syms, B, hs, ws_)]
 
-        imgs = np.asarray(imgs).astype(np.uint8)
+        return dict(imgs=imgs, headers=headers, B=B)
+
+    def decode_batch_finish(self, handle) -> List[np.ndarray]:
+        with self.times.run("fetch images"):
+            imgs = np.asarray(handle["imgs"]).astype(np.uint8)
         out = []
-        for b in range(B):
+        for b in range(handle["B"]):
             im = imgs[b:b + 1]
-            tup = headers[b]["pad"]
+            tup = handle["headers"][b]["pad"]
             if any(tup):
                 im = pad_mod.undo_pad(im, *tup)
             out.append(im)

@@ -43,18 +43,18 @@ import numpy as np
 
 from ..models import dmll as dmll_mod
 
-T_STREAM = 512          # symbols per rANS stream (file header records it)
+T_STREAM = 1024         # symbols per rANS stream (file header records it)
 UNROLL = 4              # symbols coded per scan step
 RANS_L = 1 << 16        # state lower bound
 PROB_BITS = 16
 
-# The CODING distribution keeps only the top CODER_TOPK mixture
-# components per pixel (renormalized). Trained mixtures concentrate mass
-# in 1-3 components, so the bitrate cost is negligible while the
-# dominant table-build cost drops by K/CODER_TOPK. Encode and decode
-# share the table function, so this is a pure spec choice (same role as
-# the host backend's PI_SKIP threshold).
-CODER_TOPK = 4
+# Optional: restrict the CODING distribution to the top-K mixture
+# components per pixel (renormalized; same role as the host backend's
+# PI_SKIP). Cuts the dominant table-build cost by K/CODER_TOPK on
+# compute-bound deployments, at a bitrate cost that shrinks as the
+# model converges (undertrained mixtures spread mass; measured +4% bpsp
+# at 15k training steps, so DISABLED (0) by default).
+CODER_TOPK = int(__import__("os").environ.get("L3C_CODER_TOPK", "0"))
 
 
 class StreamLayout(NamedTuple):
@@ -333,7 +333,7 @@ def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
                     + lam[..., 2, :] * decoded[..., 1:2])
     pi_c, inv_c = pi[..., c, :], inv_s[..., c, :]
     K = pi_c.shape[-1]
-    if K > CODER_TOPK:
+    if CODER_TOPK and K > CODER_TOPK:
         top_pi, idx = jax.lax.top_k(pi_c, CODER_TOPK)
         pi_c = top_pi / jnp.sum(top_pi, axis=-1, keepdims=True)
         mu_c = jnp.take_along_axis(mu_c, idx, axis=-1)

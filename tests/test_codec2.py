@@ -55,12 +55,14 @@ def test_v2_bitrate_close_to_v1(setup, tmp_path):
     sizes must agree within a few percent (same mixture, same 16-bit
     quantization; only stream framing differs)."""
     cfg, net, params = setup
-    img = _rand_img(24, 24, seed=2)
+    img = _rand_img(64, 64, seed=2)
     bc1 = Bitcoding(cfg, net, params)
     bc2 = TpuBitcoding(cfg, net, params)
     p1, p2 = str(tmp_path / "a.l3c"), str(tmp_path / "b.l3c")
     bpsp1 = bc1.encode(img, p1)
     bpsp2 = bc2.encode(img, p2)
+    # framing overheads differ (v2 pays ~6 bytes per 1024-symbol stream,
+    # v1 ~8 bytes per chunk); the mixture coding itself must agree
     assert abs(bpsp2 / bpsp1 - 1) < 0.10, (bpsp1, bpsp2)
     np.testing.assert_array_equal(bc1.decode(p1), img)
     np.testing.assert_array_equal(bc2.decode(p2), img)
