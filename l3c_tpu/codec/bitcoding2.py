@@ -1,4 +1,4 @@
-"""Format-v2 codec: the entropy coder runs entirely on the accelerator.
+"""On-device codec (format v3): the entropy coder runs on the accelerator.
 
 Successor to codec.bitcoding (format v1, host C++ rANS): all CDF tables
 AND the rANS coding itself run on-device (ops.tpu_coder), so the only
@@ -6,27 +6,35 @@ host<->device traffic is the padded image up and the compressed words
 down (and vice versa on decode). On the axon-tunneled TPU this cuts per-
 image transfer from ~170MB of mixture parameters to ~1-6MB of streams.
 
-Determinism contract (sharper than v1's): every FLOAT-producing stage —
-get_P network application and per-channel table construction — is one
-jitted function SHARED by encode and decode, so both sides read
-bit-identical uint16 tables; the remaining stages (rANS scans) are pure
-uint32 integer programs whose results are exact by construction.
+Determinism contract: every FLOAT-producing stage — get_P network
+application and per-channel table construction — is one jitted function
+shared by encode and decode AND always applied at batch size 1 per image
+(programs compiled at different batch sizes can differ in float results,
+which would corrupt streams when a batch-encoded file is decoded alone);
+the integer rANS scans are exact by construction and DO fuse across the
+batch. Decoder-side values are reconstructed from committed integer
+symbols through the shared grid tables, so they match the encoder
+bitwise.
 
-BATCHED CODING: same-shape images are coded together — the network
-passes batch over the MXU and every scan gains B x more lanes at the
-same step count. Stream groups are ordered channel-major/batch-minor
-((c, b) group owns rows [(c*B + b)*ns_c, ...)), so per-image files split
-by row slices and the RGB decode still processes channel phases
-sequentially across the whole batch for the lambda autoregression.
+BATCHED CODING: same-shape images are coded together — the rANS scans
+gain B x more lanes at the same step count and the per-image float
+dispatches overlap asynchronously. Stream groups are channel-major/
+batch-minor ((c, b) group owns rows [(c*B + b)*ns_c, ...)), so per-image
+files split by row slices (byte-identical to single-image encodes) and
+the RGB decode still processes channel phases sequentially for the
+lambda autoregression.
 
 Scale coding structure (per image, one file "unit" per line):
   unit 0:            coarsest bottleneck, uniform prior, all channels
-  per scale coarse->fine, one unit each:
-    bn scales:       all q.C channels fused (independent given l)
-    RGB scale:       encode fused; decode channel-sequential
+  per scale coarse->fine:
+    bn scales:       ONE unit, all q.C channels fused
+    RGB scales:      TWO units (two-level coding): 16-ary coarse
+                     symbols, then 16-ary fine symbols conditioned on
+                     the decoded coarse bin — 17+17 CDF edges per pixel
+                     instead of 256 (ops.tpu_coder.rgb_*_tables)
 
-File format v2:
-  magic 'L3TP' | version=2 u8 | num_scales u8 | T_stream u16
+File format v3:
+  magic 'L3TP' | version=3 u8 | num_scales u8 | T_stream u16
   | padL,padR,padT,padB u16*4 | padded H u16 | W u16
   per unit: n_streams u32 | lengths u16*n_streams (words) | words u16[]
   magic separator u32 after every unit.
@@ -54,15 +62,6 @@ from . import auto_crop, part_suffix
 from .bitcoding import MAGIC, MAGIC_SEP, DecodeError
 
 
-def _tables_batch(spec, l, C, decoded):
-    """Tables for all channels, channel-major/batch-minor: (C*B*n, L)."""
-    tabs = []
-    for c in range(C):
-        t = tc.mixture_tables_for_channel(spec, l, c, C, decoded)
-        tabs.append(t)  # (B*n, L), batch-major
-    return jnp.concatenate(tabs, axis=0)
-
-
 def _group_syms(nhwc: jnp.ndarray) -> jnp.ndarray:
     """(B,h,w,C) -> (C*B*n,) channel-major/batch-minor int32."""
     B, h, w, C = nhwc.shape
@@ -80,7 +79,7 @@ def _ungroup_syms(flat_gn: jnp.ndarray, B: int, h: int, w: int
 class TpuBitcoding:
     """Encode/decode images with the fully on-device coder (format v2)."""
 
-    VERSION = 2
+    VERSION = 3
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  times=None):
@@ -102,15 +101,23 @@ class TpuBitcoding:
                 p, s, bn, decF, method=MultiscaleNetwork.get_P))
             for s in range(cfg.num_scales)
         }
-        self._tables_bn = jax.jit(
-            lambda l: _tables_batch(self._bn, l, cfg.q.C, None))
-        self._table_rgb = {
-            c: jax.jit(lambda l, dec, c=c: tc.mixture_tables_for_channel(
+        # DETERMINISM: every float program shared between encode and
+        # decode runs strictly PER IMAGE (batch 1). Programs compiled at
+        # different batch sizes may differ in float results (observed on
+        # the CPU backend), which would corrupt streams when a
+        # batch-encoded file is decoded alone. Batched callers loop
+        # these per image — dispatches are async, so they overlap.
+        self._tables_bn_1 = jax.jit(
+            lambda l: tc.mixture_tables_all_channels(
+                self._bn, l, cfg.q.C, None))
+        self._coarse_rgb = {
+            c: jax.jit(lambda l, dec, c=c: tc.rgb_coarse_tables(
                 self._rgb, l, c, 3, dec))
-            for c in range(3)
-        }
-        self._tables_rgb_all = jax.jit(
-            lambda l, dec: _tables_batch(self._rgb, l, 3, dec))
+            for c in range(3)}
+        self._fine_rgb = {
+            c: jax.jit(lambda l, dec, a, c=c: tc.rgb_fine_tables(
+                self._rgb, l, c, 3, dec, a))
+            for c in range(3)}
 
         # ---- integer coder jits (side-specific; exact by construction)
         self._encode_unit = jax.jit(
@@ -194,30 +201,53 @@ class TpuBitcoding:
                                        n_u, uni_C * B))
             units_C.append(uni_C)
 
-        dec_F_prev = None
-        bn_prev = per_scale[S - 1][1]
+        # decode-shared float stages run per image (see __init__ note)
+        dec_F_prev = [None] * B
+        bn_prev = [per_scale[S - 1][1][b:b + 1] for b in range(B)]
         for scale in reversed(range(S)):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
-                    l, dec_F_prev = self._get_P[scale](
-                        self.params, bn_prev, dec_F_prev)
+                    ls = []
+                    for b in range(B):
+                        l_b, dec_F_prev[b] = self._get_P[scale](
+                            self.params, bn_prev[b], dec_F_prev[b])
+                        ls.append(l_b)
                 if scale == 0:
                     target = jnp.asarray(padded.astype(np.int32))
                 else:
                     target = per_scale[scale - 1][0]
-                    bn_prev = per_scale[scale - 1][1]
+                    bn_prev = [per_scale[scale - 1][1][b:b + 1]
+                               for b in range(B)]
                 n = target.shape[1] * target.shape[2]
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
-                        # RGB targets: lambda autoregression over 3 chans
-                        tables = self._tables_rgb_all(
-                            l, target.astype(jnp.float32))
+                        # RGB targets, two-level: coarse then fine, both
+                        # lambda-conditioned on the true channel values
+                        a = target >> tc.FINE_BITS
+                        bsym = target & ((1 << tc.FINE_BITS) - 1)
+                        ct = jnp.concatenate(
+                            [self._coarse_rgb[c](
+                                ls[b], target[b:b + 1].astype(
+                                    jnp.float32))
+                             for c in range(3) for b in range(B)], 0)
                         units.append(self._encode_unit(
-                            tables, _group_syms(target), self._rgb.L,
+                            ct, _group_syms(a), tc.N_COARSE, n, 3 * B))
+                        units_C.append(3)
+                        ft = jnp.concatenate(
+                            [self._fine_rgb[c](
+                                ls[b],
+                                target[b:b + 1].astype(jnp.float32),
+                                a[b, ..., c].reshape(n))
+                             for c in range(3) for b in range(B)], 0)
+                        units.append(self._encode_unit(
+                            ft, _group_syms(bsym), 1 << tc.FINE_BITS,
                             n, 3 * B))
                         units_C.append(3)
                     else:
-                        tables = self._tables_bn(l)
+                        tables = jnp.concatenate(
+                            [self._tables_bn_1(ls[b])
+                             .reshape(C_bn, n, -1)[c]
+                             for c in range(C_bn) for b in range(B)], 0)
                         units.append(self._encode_unit(
                             tables, _group_syms(target), self._bn.L, n,
                             C_bn * B))
@@ -283,9 +313,13 @@ class TpuBitcoding:
         """Dispatch all device work for a batch of files; returns a
         handle for decode_batch_finish (pipeline across batches)."""
         B = len(pins)
+        S_cfg = self.cfg.num_scales
+        baseline0 = self.cfg.rgb_bicubic_baseline
+        n_units = 1 + sum(2 if (s == 0 or baseline0) else 1
+                          for s in range(S_cfg))
         headers, per_file_units = [], []
         for pin in pins:
-            hdr, units = _read_file(pin, self.cfg.num_scales)
+            hdr, units = _read_file(pin, S_cfg, n_units)
             headers.append(hdr)
             per_file_units.append(units)
         S, H, W = headers[0]["S"], headers[0]["H"], headers[0]["W"]
@@ -294,7 +328,6 @@ class TpuBitcoding:
                 raise DecodeError("decode_batch needs same-shape files")
 
         C_bn = self.cfg.q.C
-        n_units = S + 1
 
         # reassemble channel-major/batch-minor word arrays per unit;
         # upload only a 32-column bucket of the used width, pad to the
@@ -332,30 +365,45 @@ class TpuBitcoding:
                 syms = _ungroup_syms(syms, B, h, w)
                 bn_prev = self._bn_levels[syms]
 
-        dec_F_prev = None
+        # decode-shared float stages run per image (see __init__ note)
+        dec_F_prev = [None] * B
+        bn_prev = [bn_prev[b:b + 1] for b in range(B)]
         imgs = None
-        for i, scale in enumerate(reversed(range(S)), start=1):
+        ui = 1
+        for scale in reversed(range(S)):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
-                    l, dec_F_prev = self._get_P[scale](
-                        self.params, bn_prev, dec_F_prev)
+                    ls = []
+                    for b in range(B):
+                        l_b, dec_F_prev[b] = self._get_P[scale](
+                            self.params, bn_prev[b], dec_F_prev[b])
+                        ls.append(l_b)
                 hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
-                        words = unit_words(i, 3)
-                        rgb = self._decode_rgb(l, words, B, hs, ws_)
+                        w_coarse = unit_words(ui, 3)
+                        w_fine = unit_words(ui + 1, 3)
+                        ui += 2
+                        rgb = self._decode_rgb(ls, w_coarse, w_fine, B,
+                                               hs, ws_)
                         if scale == 0:
                             imgs = rgb
                         else:
-                            bn_prev = rgb.astype(jnp.float32) - mean
+                            bn_prev = [rgb[b:b + 1].astype(jnp.float32)
+                                       - mean for b in range(B)]
                     else:
-                        words = unit_words(i, C_bn)
-                        tables = self._tables_bn(l)
+                        words = unit_words(ui, C_bn)
+                        ui += 1
+                        n = hs * ws_
+                        tables = jnp.concatenate(
+                            [self._tables_bn_1(ls[b])
+                             .reshape(C_bn, n, -1)[c]
+                             for c in range(C_bn) for b in range(B)], 0)
                         syms = self._decode_unit(
-                            tables, words, self._bn.L, hs * ws_,
-                            C_bn * B)
-                        bn_prev = self._bn_levels[
+                            tables, words, self._bn.L, n, C_bn * B)
+                        bn = self._bn_levels[
                             _ungroup_syms(syms, B, hs, ws_)]
+                        bn_prev = [bn[b:b + 1] for b in range(B)]
 
         return dict(imgs=imgs, headers=headers, B=B)
 
@@ -371,20 +419,35 @@ class TpuBitcoding:
             out.append(im)
         return out
 
-    def _decode_rgb(self, l, words, B, hs, ws):
-        """Channel-sequential RGB decode with lambda conditioning."""
+    def _decode_rgb(self, ls, w_coarse, w_fine, B, hs, ws):
+        """Channel-sequential two-level RGB decode with lambda
+        conditioning: per channel, decode the coarse symbol a against
+        16-entry tables, build the conditional fine tables from a,
+        decode b, and reconstruct s = 16a + b. Table builders run per
+        image (B=1) for the cross-batch determinism contract; the rANS
+        scans stay fused across the batch."""
         n = hs * ws
-        layB = tc.layout_for(n, B)
-        ns_c = layB.ns_c
-        decoded = jnp.zeros((B, hs, ws, 3), jnp.float32)
+        ns_c = tc.layout_for(n, B).ns_c
+        decoded = [jnp.zeros((1, hs, ws, 3), jnp.float32)
+                   for _ in range(B)]
         ch_syms = []
         for c in range(3):
-            table = self._table_rgb[c](l, decoded)    # (B*n, L)
-            w_c = words[c * B * ns_c: (c + 1) * B * ns_c]
-            s_c = self._decode_unit(table, w_c, self._rgb.L, n, B)
-            s_c = s_c.reshape(B, hs, ws)
+            rows = slice(c * B * ns_c, (c + 1) * B * ns_c)
+            ct = jnp.concatenate(
+                [self._coarse_rgb[c](ls[b], decoded[b])
+                 for b in range(B)], 0)               # (B*n, 16)
+            a = self._decode_unit(ct, w_coarse[rows], tc.N_COARSE, n, B)
+            ft = jnp.concatenate(
+                [self._fine_rgb[c](ls[b], decoded[b], a[b].reshape(n))
+                 for b in range(B)], 0)
+            b_ = self._decode_unit(ft, w_fine[rows],
+                                   1 << tc.FINE_BITS, n, B)
+            s_c = ((a.reshape(B, hs, ws) << tc.FINE_BITS)
+                   | b_.reshape(B, hs, ws))
             ch_syms.append(s_c)
-            decoded = decoded.at[..., c].set(s_c.astype(jnp.float32))
+            for b in range(B):
+                decoded[b] = decoded[b].at[..., c].set(
+                    s_c[b:b + 1].astype(jnp.float32))
         return jnp.stack(ch_syms, axis=-1)
 
 
@@ -417,7 +480,7 @@ def _read_unit(fin):
     return words
 
 
-def _read_file(pin: str, expect_scales: int):
+def _read_file(pin: str, expect_scales: int, n_units: int):
     with open(pin, "rb") as fin:
         if fin.read(4) != MAGIC:
             raise DecodeError("bad magic")
@@ -433,7 +496,7 @@ def _read_file(pin: str, expect_scales: int):
         pad_tuple = struct.unpack("<4H", fin.read(8))
         H, W = struct.unpack("<HH", fin.read(4))
         units = []
-        for _ in range(S + 1):
+        for _ in range(n_units):
             units.append(_read_unit(fin))
             _expect_sep(fin)
     return {"S": S, "H": H, "W": W, "pad": pad_tuple}, units

@@ -309,6 +309,80 @@ def decode_uniform(words: jnp.ndarray, L: int, lay: StreamLayout
     return decode_channels(tables, words, L, lay)
 
 
+# ------------------------------------------- two-level RGB (format v3)
+#
+# For L=256 RGB symbols, coding s directly needs 256 CDF edges per pixel.
+# Splitting s = 16*a + b into a coarse symbol a (16 values) and a fine
+# symbol b (16 values, conditional on a) needs only 17 + 17 edges:
+#   p(a)   ~ C(t_{16(a+1)}) - C(t_{16a})          (coarse table, L=16)
+#   p(b|a) ~ [C(t_{16a+b+1}) - C(t_{16a+b})] / p(a)   (fine table, L=16)
+# The product reproduces the original discretized mixture up to one extra
+# 16-bit quantization. 8x less table math and 16x smaller searchsorted
+# rows; the chain costs one extra rANS symbol per pixel.
+
+FINE_BITS = 4
+N_COARSE = 16  # 256 >> FINE_BITS
+
+
+def _mixture_cdf_at(pi, mu, inv_s, t):
+    """C(t) for per-pixel edge vectors t (..., E); params (..., K)."""
+    z = (t[..., None, :] - mu[..., None]) * inv_s[..., None]
+    return jnp.sum(pi[..., None] * jax.nn.sigmoid(z), axis=-2)
+
+
+def _quantize_rows(c: jnp.ndarray, L: int) -> jnp.ndarray:
+    """float CDF rows (..., L) -> uint16 per the table spec."""
+    M = np.float32(65536 - L)
+    q = jnp.floor(jnp.clip(c, 0.0, 1.0) * M + 0.5).astype(jnp.int32)
+    q = jax.lax.cummax(q, axis=q.ndim - 1)
+    return (q + jnp.arange(L, dtype=jnp.int32)).astype(jnp.uint16)
+
+
+def _channel_params(spec, l, c, C, decoded):
+    """(pi, mu~, inv_s) for channel c with lambda conditioning applied."""
+    pi, mu, inv_s, lam = dmll_mod.pack_coder_params(spec, l, C)
+    mu_c = mu[..., c, :]
+    if spec.rgb_scale and c > 0 and decoded is not None:
+        if c == 1:
+            mu_c = mu_c + lam[..., 0, :] * decoded[..., 0:1]
+        else:
+            mu_c = (mu_c + lam[..., 1, :] * decoded[..., 0:1]
+                    + lam[..., 2, :] * decoded[..., 1:2])
+    n = int(np.prod(mu_c.shape[:-1]))
+    K = mu_c.shape[-1]
+    return (pi[..., c, :].reshape(n, K), mu_c.reshape(n, K),
+            inv_s[..., c, :].reshape(n, K))
+
+
+def rgb_coarse_tables(spec, l, c, C, decoded) -> jnp.ndarray:
+    """(n, 16) uint16 coarse tables for channel c."""
+    pi, mu, inv_s = _channel_params(spec, l, c, C, decoded)
+    bw = np.float32(spec.bin_width)
+    t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
+    edges = jnp.asarray(
+        (np.arange(N_COARSE) << FINE_BITS).astype(np.float32) * bw + t0)
+    cvals = _mixture_cdf_at(pi, mu, inv_s, jnp.broadcast_to(
+        edges, (pi.shape[0], N_COARSE)))
+    return _quantize_rows(cvals, N_COARSE)
+
+
+def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray) -> jnp.ndarray:
+    """(n, 16) uint16 fine tables conditional on coarse symbols a (n,)."""
+    pi, mu, inv_s = _channel_params(spec, l, c, C, decoded)
+    n = pi.shape[0]
+    bw = np.float32(spec.bin_width)
+    t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
+    k = jnp.arange((1 << FINE_BITS) + 1, dtype=jnp.float32)   # 0..16
+    base = (a.reshape(n).astype(jnp.float32)
+            * np.float32(1 << FINE_BITS))
+    t = (base[:, None] + k) * bw + t0                         # (n, 17)
+    cvals = _mixture_cdf_at(pi, mu, inv_s, t)                 # (n, 17)
+    lo = cvals[:, :1]
+    denom = jnp.maximum(cvals[:, -1:] - lo, 1e-9)
+    cond = (cvals[:, : 1 << FINE_BITS] - lo) / denom
+    return _quantize_rows(cond, 1 << FINE_BITS)
+
+
 # ----------------------------------------------- mixture-scale helpers
 
 
