@@ -76,6 +76,19 @@ def _ungroup_syms(flat_gn: jnp.ndarray, B: int, h: int, w: int
     return flat_gn.reshape(C, B, h, w).transpose(1, 2, 3, 0)
 
 
+def _assemble_unit(ws, cols_b: int, C: int, B: int) -> np.ndarray:
+    """Per-file word arrays -> one (C*B*ns_c, cols_b) channel-major/
+    batch-minor padded array (host side)."""
+    ns_c = ws[0].shape[0] // C
+    out = np.zeros((C * B * ns_c, cols_b), np.uint16)
+    for c in range(C):
+        for b in range(B):
+            w = ws[b][c * ns_c: (c + 1) * ns_c]
+            out[(c * B + b) * ns_c: (c * B + b + 1) * ns_c,
+                : w.shape[1]] = w
+    return out
+
+
 class TpuBitcoding:
     """Encode/decode images with the fully on-device coder (format v2)."""
 
@@ -263,16 +276,25 @@ class TpuBitcoding:
         H, W = handle["H"], handle["W"]
         pad_tuples = handle["pad_tuples"]
         C_bn = self.cfg.q.C
-        # ---- fetch: lengths first (tiny), then only the used columns
-        # (bucketed to multiples of 32 so the device-side slice compiles
-        # once per bucket, not per distinct max length)
+        # ---- fetch: lengths first (tiny, one sync), then ONE flat
+        # transfer of all units' used columns (each blocking sync costs
+        # 50-100ms through the tunnel; widths bucketed to multiples of
+        # 32 so the device-side slice compiles once per bucket)
         with self.times.run("fetch"):
             lens_np = jax.device_get([u[1] for u in units])
-            words_np = []
+            shapes = []
+            flat_parts = []
             for (words, _), lens in zip(units, lens_np):
                 full = words.shape[1]
                 ml = min(-(-max(2, int(lens.max())) // 32) * 32, full)
-                words_np.append(np.asarray(words[:, :ml]))
+                shapes.append((words.shape[0], ml))
+                flat_parts.append(words[:, :ml].reshape(-1))
+            flat = np.asarray(jnp.concatenate(flat_parts))
+            words_np = []
+            off = 0
+            for ns, ml in shapes:
+                words_np.append(flat[off:off + ns * ml].reshape(ns, ml))
+                off += ns * ml
         with self.times.run("write"):
             bpsps = []
             for b, pout in enumerate(pouts):
@@ -329,23 +351,38 @@ class TpuBitcoding:
 
         C_bn = self.cfg.q.C
 
-        # reassemble channel-major/batch-minor word arrays per unit;
-        # upload only a 32-column bucket of the used width, pad to the
-        # static (lanes, T+2) shape on device (cheap, keeps the scan
-        # jits at one shape)
-        def unit_words(ui: int, C: int) -> jnp.ndarray:
+        # reassemble channel-major/batch-minor word arrays per unit on
+        # the host (32-column buckets of the used width), upload ALL
+        # units in ONE flat transfer (syncs cost 50-100ms through the
+        # tunnel), then slice + pad to the static (lanes, T+2) scan
+        # shape on device per unit (cheap dispatches)
+        full = tc.T_STREAM + 2
+        C_bn = self.cfg.q.C
+        unit_Cs = [3 if baseline0 else C_bn]
+        for s in reversed(range(S_cfg)):
+            unit_Cs += [3, 3] if (s == 0 or baseline0) else [C_bn]
+        host_units = []
+        for ui in range(n_units):
             ws = [per_file_units[b][ui] for b in range(B)]
-            ns_c = ws[0].shape[0] // C
-            full = tc.T_STREAM + 2
             cols = max(2, max(w.shape[1] for w in ws))
             cols_b = min(-(-cols // 32) * 32, full)
-            out = np.zeros((C * B * ns_c, cols_b), np.uint16)
-            for c in range(C):
-                for b in range(B):
-                    w = ws[b][c * ns_c: (c + 1) * ns_c]
-                    out[(c * B + b) * ns_c: (c * B + b + 1) * ns_c,
-                        : w.shape[1]] = w
-            dev = jnp.asarray(out)
+            host_units.append((ws, cols_b, unit_Cs[ui]))
+        flat_np = np.concatenate(
+            [np.zeros(0, np.uint16)] + [
+                _assemble_unit(ws, cols_b, C, B).reshape(-1)
+                for ws, cols_b, C in host_units])
+        flat_dev = jnp.asarray(flat_np)
+        unit_offsets = np.cumsum(
+            [0] + [ws[0].shape[0] * B * cols_b
+                   for ws, cols_b, _ in host_units])
+
+        def unit_words(ui: int, C: int) -> jnp.ndarray:
+            ws, cols_b, C_u = host_units[ui]
+            assert C == C_u, (ui, C, C_u)
+            rows = ws[0].shape[0] * B
+            dev = flat_dev[int(unit_offsets[ui]):
+                           int(unit_offsets[ui + 1])].reshape(rows,
+                                                              cols_b)
             if cols_b < full:
                 dev = jnp.pad(dev, ((0, 0), (0, full - cols_b)))
             return dev
