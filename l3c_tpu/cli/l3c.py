@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--restore_itr", type=int, default=-1)
     p.add_argument("--overwrite", "-f", action="store_true")
     p.add_argument("--config_roots", default=None)
+    p.add_argument("--codec_backend", default="auto",
+                   choices=["auto", "tpu", "host"],
+                   help="entropy backend for encoding (the reference's "
+                        "--device analog; decode auto-detects from the "
+                        "file's format version)")
     flags = p.parse_args(argv)
 
     from ..eval.tester import MultiscaleTester
@@ -34,9 +39,9 @@ def main(argv=None):
                     else [os.path.join(os.path.dirname(__file__), "..",
                                        "configs")])
     log_dir = logdir_mod.find_log_dir(flags.log_dir_root, flags.log_date)
-    tester = MultiscaleTester.from_log_dir(log_dir, config_roots,
-                                           restore_itr=flags.restore_itr,
-                                           use_cache=False)
+    tester = MultiscaleTester.from_log_dir(
+        log_dir, config_roots, restore_itr=flags.restore_itr,
+        use_cache=False, codec_backend=flags.codec_backend)
     if flags.overwrite and os.path.exists(flags.out):
         os.remove(flags.out)
 

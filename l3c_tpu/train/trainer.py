@@ -15,7 +15,6 @@ as a functional JAX loop:
 """
 from __future__ import annotations
 
-import sys
 import time
 from typing import Dict, Iterable, Optional
 
