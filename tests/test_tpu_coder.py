@@ -178,3 +178,93 @@ def test_encode_matches_decode_through_mixture_tables():
     out = tc.decode_channels(tables, words, 25, lay)
     np.testing.assert_array_equal(np.asarray(out).reshape(-1),
                                   np.asarray(syms))
+
+
+def _np_mixture_cdf(pi, mu, inv_s, t):
+    """numpy float64 oracle of _mixture_cdf_at."""
+    z = (t[:, None, :] - mu[:, :, None]) * inv_s[:, :, None]
+    return (pi[:, :, None] / (1 + np.exp(-z))).sum(1)
+
+
+def test_rgb_coarse_fine_tables_spec():
+    """Two-level tables: coarse = CDF at 16-stride edges; fine =
+    conditional CDF inside the decoded coarse bin; both strictly
+    increasing; chain probabilities approximate the direct mixture."""
+    spec = dmll.DMLLSpec(rgb_scale=True)
+    K = 4
+    rng = np.random.RandomState(8)
+    n = 64
+    l = jnp.asarray(rng.randn(1, 8, 8, dmll.non_shared_get_Kp(K, 3))
+                    .astype(np.float32))
+    dec = jnp.asarray(rng.randint(0, 256, (1, 8, 8, 3))
+                      .astype(np.float32))
+    a = jnp.asarray(rng.randint(0, 16, n).astype(np.int32))
+
+    ct = np.asarray(tc.rgb_coarse_tables(spec, l, 1, 3, dec), np.int64)
+    ft = np.asarray(tc.rgb_fine_tables(spec, l, 1, 3, dec, a), np.int64)
+    for t in (ct, ft):
+        assert t.shape == (n, 16)
+        d = np.diff(np.concatenate([t, np.full((n, 1), 65536)], 1), 1)
+        assert (d >= 1).all()
+
+    # numpy oracle of the coarse CDF values
+    from l3c_tpu.models.dmll import pack_coder_params
+    pi, mu, inv_s, lam = [np.asarray(x, np.float64) if x is not None
+                          else None
+                          for x in pack_coder_params(spec, l, 3)]
+    mu1 = (mu[..., 1, :] + lam[..., 0, :]
+           * np.asarray(dec)[..., 0:1]).reshape(n, K)
+    pi1 = pi[..., 1, :].reshape(n, K)
+    is1 = inv_s[..., 1, :].reshape(n, K)
+    bw, t0 = 1.0, -0.5
+    edges = (np.arange(16) * 16) * bw + t0
+    c = _np_mixture_cdf(pi1, mu1, is1, np.broadcast_to(edges, (n, 16)))
+    q = np.floor(np.clip(c, 0, 1) * (65536 - 16) + 0.5)
+    q = np.maximum.accumulate(q, 1) + np.arange(16)
+    np.testing.assert_allclose(ct, q, atol=5)  # f32 vs f64 rounding
+
+    # fine rows: conditional within bin a
+    a_np = np.asarray(a)
+    kk = np.arange(17)
+    tfine = (a_np[:, None] * 16 + kk) * bw + t0
+    cf = _np_mixture_cdf(pi1, mu1, is1, tfine)
+    denom = cf[:, -1:] - cf[:, :1]
+    cond = (cf[:, :16] - cf[:, :1]) / np.maximum(denom, 1e-9)
+    qf = np.floor(np.clip(cond, 0, 1) * (65536 - 16) + 0.5)
+    qf = np.maximum.accumulate(qf, 1) + np.arange(16)
+    # degenerate bins (negligible mass in the coarse bin) divide two
+    # ~zero float32 quantities: numerically arbitrary but still a VALID
+    # coding table (strict monotonicity asserted above); compare only
+    # the well-conditioned rows against the float64 oracle
+    ok = denom[:, 0] > 1e-3
+    assert ok.sum() > n // 4
+    np.testing.assert_allclose(ft[ok], qf[ok], atol=5)
+
+
+def test_two_level_roundtrip_chain():
+    """Code (a, b) chains through the coarse+fine tables and recover the
+    full 256-ary symbols."""
+    spec = dmll.DMLLSpec(rgb_scale=True)
+    K = 3
+    rng = np.random.RandomState(9)
+    H = W = 16
+    n = H * W
+    l = jnp.asarray(rng.randn(1, H, W, dmll.non_shared_get_Kp(K, 3))
+                    .astype(np.float32))
+    dec = jnp.asarray(rng.randint(0, 256, (1, H, W, 3))
+                      .astype(np.float32))
+    syms = rng.randint(0, 256, n).astype(np.int32)
+    a, b = syms >> 4, syms & 15
+    lay = tc.layout_for(n, 1)
+
+    ct = tc.rgb_coarse_tables(spec, l, 2, 3, dec)
+    wa, _ = tc.encode_channels(ct, jnp.asarray(a), 16, lay)
+    a_dec = tc.decode_channels(ct, wa, 16, lay).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(a_dec), a)
+
+    ft = tc.rgb_fine_tables(spec, l, 2, 3, dec, a_dec)
+    wb, _ = tc.encode_channels(ft, jnp.asarray(b), 16, lay)
+    b_dec = tc.decode_channels(ft, wb, 16, lay).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(b_dec), b)
+    np.testing.assert_array_equal(
+        (np.asarray(a_dec) << 4) | np.asarray(b_dec), syms)
