@@ -137,3 +137,18 @@ def test_v2_rgb_baseline_roundtrip(tmp_path):
     assert 0 < bpsp < 30
     out = bc.decode(p)
     np.testing.assert_array_equal(out, img)
+
+
+def test_v3_autocrop_part_files(setup, tmp_path, monkeypatch):
+    """Big images split into .partN files and stitch back (v3 path)."""
+    from l3c_tpu.codec import part_suffix
+    monkeypatch.setenv("AC_NEEDS_CROP_DIM", "24,24")
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    img = _rand_img(48, 40, seed=31)
+    p = str(tmp_path / "big.l3c")
+    bpsp = bc.encode(img, p)
+    parts = part_suffix.iter_part_paths(p + ".part0")
+    assert len(parts) == 4 and bpsp > 0
+    out = bc.decode(parts[0])
+    np.testing.assert_array_equal(out, img)
