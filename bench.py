@@ -52,7 +52,8 @@ def main():
     imgs = [np.clip(base + rng.randint(-8, 8, base.shape), 0,
                     255).astype(np.uint8)[None] for _ in range(B)]
 
-    with tempfile.TemporaryDirectory() as d:
+    from l3c_tpu.utils.jaxtools import maybe_profile
+    with tempfile.TemporaryDirectory() as d, maybe_profile():
         # warmup: compile all jits (single + batched shapes)
         p = os.path.join(d, "warm.l3c")
         bc.encode(img, p)

@@ -25,3 +25,18 @@ def ensure_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _done = True
+
+
+def maybe_profile(out_dir_env: str = "L3C_PROFILE"):
+    """Context manager: jax.profiler trace if $L3C_PROFILE is set.
+
+    Device-side analogue of the reference's StackTimeLogger wall-clock
+    scopes (SURVEY.md section 5): L3C_PROFILE=/tmp/trace python bench.py
+    writes a TensorBoard-loadable trace of every kernel and transfer.
+    """
+    import contextlib
+    out = os.environ.get(out_dir_env)
+    if not out:
+        return contextlib.nullcontext()
+    import jax
+    return jax.profiler.trace(out, create_perfetto_link=False)
