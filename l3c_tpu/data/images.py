@@ -173,3 +173,32 @@ class Testset:
 
     def __iter__(self):
         return iter(self.paths)
+
+
+def _cache_cli(argv=None):
+    """Maintain listing caches: mirrors the reference's
+    `python images_loader.py update|show CACHE_PKL SPEC` CLI
+    (images_loader.py:132-271)."""
+    import argparse
+    p = argparse.ArgumentParser(description=_cache_cli.__doc__)
+    p.add_argument("mode", choices=["update", "show"])
+    p.add_argument("cache_pkl")
+    p.add_argument("spec", nargs="?", default=None)
+    p.add_argument("--min_size", type=int, default=None)
+    flags = p.parse_args(argv)
+    if flags.mode == "update":
+        assert flags.spec, "update needs a dir/glob SPEC"
+        ps = ImagesCached(flags.spec, flags.cache_pkl,
+                          flags.min_size).paths(update_cache=True)
+        print(f"cached {len(ps)} paths for {flags.spec!r}")
+    else:
+        with open(flags.cache_pkl, "rb") as f:
+            cache = pickle.load(f)
+        for (spec, min_size), ps in cache.items():
+            print(f"{spec!r} min_size={min_size}: {len(ps)} paths")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_cache_cli())

@@ -179,3 +179,19 @@ def test_prep_process_one(tmp_path):
     assert r and r.endswith(".png")
     with Image.open(r) as im:
         assert min(im.size) >= 512
+
+
+def test_images_cached_cli(tmp_path):
+    from PIL import Image
+    from l3c_tpu.data import images as images_mod
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            str(d / f"i{i}.png"))
+    pkl = str(tmp_path / "cache.pkl")
+    assert images_mod._cache_cli(["update", pkl, str(d)]) == 0
+    assert images_mod._cache_cli(["show", pkl]) == 0
+    # cached listing is served without rescanning
+    ps = images_mod.ImagesCached(str(d), pkl).paths()
+    assert len(ps) == 3
