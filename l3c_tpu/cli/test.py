@@ -62,10 +62,10 @@ def main(argv=None):
         log_dir = logdir_mod.find_log_dir(flags.log_dir_root, log_date)
         for itr_s in flags.restore_itr.split(","):
             itr = int(itr_s)
-            recursive = _parse_recursive(flags.recursive, log_dir)
             tester = MultiscaleTester.from_log_dir(
                 log_dir, config_roots, restore_itr=itr,
-                use_cache=not flags.reset_cache, recursive=recursive,
+                use_cache=not flags.reset_cache,
+                recursive=flags.recursive,
                 codec_backend=flags.codec_backend)
             for ts in testsets:
                 if flags.write_to_files:
@@ -86,14 +86,6 @@ def main(argv=None):
         table.append(*r)
     table.print()
     return 0
-
-
-def _parse_recursive(spec: str, log_dir: str) -> int:
-    """'auto' => 3 extra recursions for RGB-Shared dirs, like the
-    reference's _parse_recursive_flag (multiscale_tester.py:123-132)."""
-    if spec == "auto":
-        return 3 if "shared" in os.path.basename(log_dir).lower() else 0
-    return int(spec)
 
 
 if __name__ == "__main__":

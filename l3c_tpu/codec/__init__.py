@@ -39,7 +39,7 @@ def file_version(path: str) -> int:
 
 def open_decoder(path: str, cfg, net, params, times=None):
     v = file_version(path)
-    if v == 2:
+    if v == TpuBitcoding.VERSION:
         return TpuBitcoding(cfg, net, params, times=times)
     if v == 1:
         return Bitcoding(cfg, net, params, times=times)

@@ -44,17 +44,36 @@ def _quarters(img: np.ndarray) -> List[np.ndarray]:
             img[:, h // 2:, : w // 2], img[:, h // 2:, w // 2:]]
 
 
-def iter_crops(img: np.ndarray, dim: int = None) -> Iterator[np.ndarray]:
-    """Yield tiles (depth-first quartering) small enough to code."""
+def crop_depth(img: np.ndarray, dim: int = None) -> int:
+    """Quartering depth for `img`: the max depth any quadrant needs.
+
+    Splitting every quadrant to the SAME depth (unlike the reference's
+    per-quadrant recursion, auto_crop.py:55-75) keeps the part count a
+    power of 4 at every level, so `stitch` can reassemble from the part
+    list alone: with independent depths, quadrants of a near-threshold
+    odd-sized image can recurse unevenly and the flat `.partN` list
+    becomes ambiguous. Cost: a few tiles smaller than strictly needed.
+    """
     if not needs_crop(img, dim):
+        return 0
+    return 1 + max(crop_depth(q, dim) for q in _quarters(img))
+
+
+def _iter_at_depth(img: np.ndarray, depth: int) -> Iterator[np.ndarray]:
+    if depth == 0:
         yield img
         return
     for q in _quarters(img):
-        yield from iter_crops(q, dim)
+        yield from _iter_at_depth(q, depth - 1)
+
+
+def iter_crops(img: np.ndarray, dim: int = None) -> Iterator[np.ndarray]:
+    """Yield tiles (depth-first quartering) small enough to code."""
+    yield from _iter_at_depth(img, crop_depth(img, dim))
 
 
 def num_crops(img: np.ndarray, dim: int = None) -> int:
-    return sum(1 for _ in iter_crops(img, dim))
+    return 4 ** crop_depth(img, dim)
 
 
 def stitch(parts: List[np.ndarray]) -> np.ndarray:

@@ -140,7 +140,8 @@ class Bitcoding:
         scale_bytes = []
         with open(pout, "wb") as fout:
             fout.write(MAGIC)
-            fout.write(struct.pack("<BBBB", VERSION, S, self.n_chunks, 0))
+            fout.write(struct.pack("<BBBB", VERSION, S, self.n_chunks,
+                                   coder_mod.eval_variant()))
             fout.write(struct.pack("<4H", *pad_tuple))
             fout.write(struct.pack("<HH", H, W))
 
@@ -185,13 +186,16 @@ class Bitcoding:
                     _write_scale(fout, lens, data)
                     scale_bytes.append(len(data))
 
-        num_subpixels = int(np.prod(padded.shape))
+        # bpsp over the ORIGINAL (pre-pad) subpixels (reference
+        # bitcoding.py:108) — padded pixels are codec overhead.
+        num_subpixels = int(np.prod(img.shape))
         actual_bytes = os.path.getsize(pout)
         actual_bpsp = actual_bytes * 8 / num_subpixels
 
         if self.compare_with_theory:
             out = self.net.apply(self.params, x, train=False)
-            loss = blueprint.compute_loss(self.cfg, out)
+            loss = blueprint.compute_loss(
+                self.cfg, out, num_subpixels_before_pad=num_subpixels)
             theory = float(blueprint.total_bpsp(loss))
             assumed = sum(scale_bytes) * 8 / num_subpixels
             print(f"Bitrates: theory {theory:.4f} | streams {assumed:.4f} "
@@ -211,10 +215,16 @@ class Bitcoding:
         with open(pin, "rb") as fin:
             if fin.read(4) != MAGIC:
                 raise DecodeError("bad magic")
-            version, S, n_chunks, _flags = struct.unpack("<BBBB",
-                                                         fin.read(4))
+            version, S, n_chunks, ev = struct.unpack("<BBBB",
+                                                     fin.read(4))
             if version != VERSION:
                 raise DecodeError(f"unsupported version {version}")
+            if ev != coder_mod.eval_variant():
+                raise DecodeError(
+                    f"file was encoded with CDF evaluator variant {ev}; "
+                    f"this backend implements variant "
+                    f"{coder_mod.eval_variant()} — decoding would corrupt "
+                    f"symbols")
             if S != self.cfg.num_scales:
                 raise DecodeError(
                     f"stream has {S} scales, model {self.cfg.num_scales}")

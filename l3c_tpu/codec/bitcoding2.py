@@ -313,9 +313,12 @@ class TpuBitcoding:
                         _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
                                     l_b.reshape(-1))
                         fout.write(struct.pack("<I", MAGIC_SEP))
-                bpsps.append(
-                    os.path.getsize(pout) * 8
-                    / float(np.prod(handle["padded_shape"][1:])))
+                # bpsp over the ORIGINAL (pre-pad) subpixels, matching
+                # the reference (bitcoding.py:108) — padded pixels are a
+                # codec overhead, not image content.
+                pl_, pr_, pt_, pb_ = pad_tuples[b]
+                n_sp = (H - pt_ - pb_) * (W - pl_ - pr_) * 3
+                bpsps.append(os.path.getsize(pout) * 8 / float(n_sp))
             return bpsps
 
     # ------------------------------------------------------------ decode

@@ -89,7 +89,13 @@ class MultiscaleTester:
         self.net = net
         self.params = params
         self.restore_itr = restore_itr
-        self.recursive = recursive
+        if recursive == "auto":
+            # Decided from the PARSED CONFIG like the reference
+            # (multiscale_tester.py:123-132), not from the log-dir name:
+            # RGB-Shared = bicubic baseline with a single shared scale.
+            recursive = (3 if (cfg.rgb_bicubic_baseline
+                               and cfg.num_scales == 1) else 0)
+        self.recursive = int(recursive)
         self.codec_backend = codec_backend
         self.cache = (TestOutputCache(log_dir)
                       if (log_dir and use_cache) else None)
@@ -239,11 +245,11 @@ class MultiscaleTester:
 
     def decode_file(self, in_path: str, out_png: str):
         from PIL import Image
-        bc = open_decoder(in_path, self.cfg, self.net, self.params,
-                          times=self.times)
         parts = in_path
         if not os.path.exists(in_path) and os.path.exists(
                 in_path + ".part0"):
             parts = in_path + ".part0"
+        bc = open_decoder(parts, self.cfg, self.net, self.params,
+                          times=self.times)
         img = bc.decode(parts)
         Image.fromarray(img[0]).save(out_png)

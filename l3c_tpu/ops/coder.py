@@ -22,7 +22,7 @@ import numpy as np
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "l3c_coder.cpp")
 _LIB = os.path.join(os.path.dirname(__file__), "csrc", "libl3c_coder.so")
 _BUILD_LOCK = threading.Lock()
-_lib = None
+_libs = {}
 
 # Chunked sub-streams per channel: lets a multi-core host code chunks in
 # parallel (format supports it today; execution is serial on this 1-core
@@ -30,27 +30,37 @@ _lib = None
 DEFAULT_CHUNKS = 4
 
 
-def _build() -> None:
+def _build(lib_path: str, force_scalar: bool) -> None:
+    # -march=native is safe for stream portability: the 8-lane-tree+FMA
+    # evaluator spec (csrc header comment) makes the AVX2 and scalar
+    # builds bit-identical, and the v1 header's evaluator-variant byte
+    # rejects any future divergence at decode instead of corrupting.
     cmd = [
         "g++", "-O3", "-shared", "-fPIC",
         "-ffp-contract=off", "-fno-unsafe-math-optimizations",
         "-march=native",
-        "-o", _LIB, _SRC,
+        "-o", lib_path, _SRC,
     ]
+    if force_scalar:
+        cmd.insert(-3, "-DL3C_FORCE_SCALAR")
     subprocess.run(cmd, check=True, capture_output=True)
 
 
 def get_lib() -> ctypes.CDLL:
-    global _lib
-    if _lib is not None:
-        return _lib
+    # L3C_CODER_FORCE_SCALAR=1 selects the scalar build (tests verify it
+    # produces bit-identical streams to the vectorized build).
+    force_scalar = os.environ.get("L3C_CODER_FORCE_SCALAR", "0") == "1"
+    if force_scalar in _libs:
+        return _libs[force_scalar]
     with _BUILD_LOCK:
-        if _lib is not None:
-            return _lib
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        if force_scalar in _libs:
+            return _libs[force_scalar]
+        lib_path = (_LIB.replace(".so", "_scalar.so") if force_scalar
+                    else _LIB)
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
+            _build(lib_path, force_scalar)
+        lib = ctypes.CDLL(lib_path)
         c_i64 = ctypes.c_longlong
         c_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         c_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -76,8 +86,14 @@ def get_lib() -> ctypes.CDLL:
         lib.l3c_decode_uniform.argtypes = [
             c_u8p, c_i64p, c_i64, ctypes.c_int, ctypes.c_int, c_i32p]
         lib.l3c_coder_version.restype = ctypes.c_int
-        _lib = lib
-        return _lib
+        lib.l3c_eval_variant.restype = ctypes.c_int
+        _libs[force_scalar] = lib
+        return lib
+
+
+def eval_variant() -> int:
+    """CDF evaluator variant of the loaded backend (v1 header byte)."""
+    return int(get_lib().l3c_eval_variant())
 
 
 def _lam_ptr(lam: Optional[np.ndarray]):

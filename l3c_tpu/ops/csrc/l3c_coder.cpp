@@ -34,10 +34,18 @@
 #include <cstring>
 #include <cmath>
 
-#if defined(__AVX2__) && defined(__FMA__)
+#if defined(__AVX2__) && defined(__FMA__) && !defined(L3C_FORCE_SCALAR)
 #include <immintrin.h>
 #define L3C_AVX2 1
 #endif
+
+// EVALUATOR SPEC (variant 1, recorded in the v1 header flags byte): the
+// CDF is defined as the 8-LANE algorithm — components padded to a
+// multiple of 8 with pi=0, per-lane partial sums with FMA accumulation,
+// fixed-order tree reduction ((a0+a4)+(a2+a6)) + ((a1+a5)+(a3+a7)), and
+// an FMA-Horner exp polynomial with inputs clamped to [-87, 87]. The
+// scalar build implements the SAME algorithm with fmaf(), so bitstreams
+// are identical across ISAs (decode rejects other variants).
 
 // ---------------------------------------------------------------------------
 // Deterministic float math
@@ -47,19 +55,21 @@
 // 2^f on [0,1) via the Taylor polynomial with positive coefficients
 // (strictly increasing, p(1) < 2), scaled by an exact power of two.
 static inline float exp_det(float w) {
-    if (w > 87.0f) return 8.5070592e37f;  // ~2^126; sigmoid() -> ~0
-    if (w < -87.0f) return 0.0f;
+    // Identical math to exp_det8 (one lane): clamp, FMA-Horner, 2^n.
+    if (w > 87.0f) w = 87.0f;
+    if (w < -87.0f) w = -87.0f;
     float t = w * 1.4426950408889634f;    // w * log2(e)
     float n = floorf(t);
     float f = t - n;                      // [0, 1)
-    // ln2^k / k!, k = 1..7
-    float p = 1.0f + f * (0.6931471805599453f
-              + f * (0.2402265069591007f
-              + f * (0.05550410866482158f
-              + f * (0.009618129107628477f
-              + f * (0.001333355814642844f
-              + f * (1.5403530393381608e-4f
-              + f * 1.5252733804059840e-5f))))));
+    // ln2^k / k!, k = 7..1, FMA-Horner (matches the AVX2 build exactly)
+    float p = 1.5252733804059840e-5f;
+    p = fmaf(p, f, 1.5403530393381608e-4f);
+    p = fmaf(p, f, 0.001333355814642844f);
+    p = fmaf(p, f, 0.009618129107628477f);
+    p = fmaf(p, f, 0.05550410866482158f);
+    p = fmaf(p, f, 0.2402265069591007f);
+    p = fmaf(p, f, 0.6931471805599453f);
+    p = fmaf(p, f, 1.0f);
     int ni = (int)n;                      // in [-126, 126]
     union { uint32_t u; float fl; } sc;
     sc.u = (uint32_t)(ni + 127) << 23;    // exact 2^ni
@@ -114,14 +124,12 @@ static inline void load_pixel_model(
         m->inv_s[n] = inv_s[k];
         ++n;
     }
-#ifdef L3C_AVX2
-    while (n & 7) {  // pad with zero-weight components (contribute 0.0f)
-        m->pi[n] = 0.0f;
+    while (n & 7) {  // pad with zero-weight components (contribute 0.0f);
+        m->pi[n] = 0.0f;   // both builds: the 8-lane spec requires it
         m->mu[n] = 0.0f;
         m->inv_s[n] = 0.0f;
         ++n;
     }
-#endif
     m->n_active = n;
     m->hint_mu = best_mu;
     m->hint_scale = 1.0f / best_is;
@@ -184,10 +192,21 @@ static inline uint32_t cdf_q(const PixelModel* m, int l,
     __m128 s1 = _mm_add_ss(s2, _mm_shuffle_ps(s2, s2, 1));
     c = _mm_cvtss_f32(s1);
 #else
-    c = 0.0f;
-    for (int k = 0; k < m->n_active; ++k) {
-        c += m->pi[k] * sigmoid_det((t - m->mu[k]) * m->inv_s[k]);
+    // Scalar build: the SAME 8-lane algorithm, lane-by-lane with fmaf.
+    float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (int k = 0; k < m->n_active; k += 8) {
+        for (int j = 0; j < 8; ++j) {
+            float z = (t - m->mu[k + j]) * m->inv_s[k + j];
+            float sig = 1.0f / (1.0f + exp_det(-z));
+            acc[j] = fmaf(m->pi[k + j], sig, acc[j]);
+        }
     }
+    // fixed-order tree reduction, matching the AVX2 horizontal reduce:
+    // s4[j] = acc[j] + acc[j+4]; s2[j] = s4[j] + s4[j+2]; c = s2[0]+s2[1]
+    float s4_0 = acc[0] + acc[4], s4_1 = acc[1] + acc[5];
+    float s4_2 = acc[2] + acc[6], s4_3 = acc[3] + acc[7];
+    float s2_0 = s4_0 + s4_2, s2_1 = s4_1 + s4_3;
+    c = s2_0 + s2_1;
 #endif
     if (c > 1.0f) c = 1.0f;
     return (uint32_t)floorf(c * (float)M + 0.5f) + (uint32_t)l;
@@ -336,7 +355,13 @@ static inline long long chunk_begin(long long n, int n_chunks, int i) {
 extern "C" {
 
 // Version / feature probe.
-int l3c_coder_version() { return 10; }
+int l3c_coder_version() { return 11; }
+
+// CDF evaluator variant (see spec comment at top). Bumped whenever the
+// float evaluation changes; the v1 file header records it so a decoder
+// with a different evaluator rejects the file instead of silently
+// corrupting symbols.
+int l3c_eval_variant() { return 1; }
 
 // Encode one scale's C channels under the mixture model.
 //   pi, mu, inv_s : [C][HW][K] float32  (softmaxed / raw / exp(-log_s))

@@ -51,8 +51,13 @@ def make_optimizer(cfg: MsConfig, epoch_len: int = None
         core = optax.identity()
     else:
         raise ValueError(f"unknown optimizer {cfg.optim!r}")
-    chain = [core]
+    # torch couples weight decay INTO the gradient before the RMS math
+    # (g += wd * p, torch/optim/rmsprop.py semantics), so the decay term
+    # goes through the preconditioner — decayed weights must precede the
+    # core transform, not follow it (decoupled/AdamW style).
+    chain = []
     if cfg.weight_decay:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(core)
     chain.append(optax.scale_by_schedule(lambda s: -lr_fn(s)))
     return optax.chain(*chain)
