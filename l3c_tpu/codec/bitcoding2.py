@@ -1,4 +1,4 @@
-"""On-device codec (format v3): the entropy coder runs on the accelerator.
+"""On-device codec (format v4): the entropy coder runs on the accelerator.
 
 Successor to codec.bitcoding (format v1, host C++ rANS): all CDF tables
 AND the rANS coding itself run on-device (ops.tpu_coder), so the only
@@ -6,23 +6,24 @@ host<->device traffic is the padded image up and the compressed words
 down (and vice versa on decode). On the axon-tunneled TPU this cuts per-
 image transfer from ~170MB of mixture parameters to ~1-6MB of streams.
 
-Determinism contract: every FLOAT-producing stage — get_P network
+Determinism contract (v4): every FLOAT-producing stage — get_P network
 application and per-channel table construction — is one jitted function
-shared by encode and decode AND always applied at batch size 1 per image
-(programs compiled at different batch sizes can differ in float results,
-which would corrupt streams when a batch-encoded file is decoded alone);
-the integer rANS scans are exact by construction and DO fuse across the
-batch. Decoder-side values are reconstructed from committed integer
+shared by encode and decode AND always applied at a FIXED PHYSICAL BATCH
+`fbatch` recorded in the file header. Programs compiled at different
+batch sizes can differ in float results (observed on the CPU backend:
+different tilings reassociate conv reductions), but within ONE compiled
+program no operator mixes batch slots, so a file encoded in any slot of
+the fbatch-sized program decodes bit-exactly in any slot of the same
+program. Logical batches smaller than fbatch are padded by repeating
+image 0 (encode) / stream 0 (decode); dummy slots are sliced away at the
+exit. This replaces the v3 design's per-image B=1 float loops — the
+whole float pipeline now runs in O(1) dispatches per scale instead of
+O(B), and the table builders batch across images.
+
+The integer rANS scans are exact by construction and always fuse across
+the batch. Decoder-side values are reconstructed from committed integer
 symbols through the shared grid tables, so they match the encoder
 bitwise.
-
-BATCHED CODING: same-shape images are coded together — the rANS scans
-gain B x more lanes at the same step count and the per-image float
-dispatches overlap asynchronously. Stream groups are channel-major/
-batch-minor ((c, b) group owns rows [(c*B + b)*ns_c, ...)), so per-image
-files split by row slices (byte-identical to single-image encodes) and
-the RGB decode still processes channel phases sequentially for the
-lambda autoregression.
 
 Scale coding structure (per image, one file "unit" per line):
   unit 0:            coarsest bottleneck, uniform prior, all channels
@@ -33,9 +34,9 @@ Scale coding structure (per image, one file "unit" per line):
                      the decoded coarse bin — 17+17 CDF edges per pixel
                      instead of 256 (ops.tpu_coder.rgb_*_tables)
 
-File format v3:
-  magic 'L3TP' | version=3 u8 | num_scales u8 | T_stream u16
-  | padL,padR,padT,padB u16*4 | padded H u16 | W u16
+File format v4:
+  magic 'L3TP' | version=4 u8 | num_scales u8 | T_stream u16
+  | fbatch u8 | padL,padR,padT,padB u16*4 | padded H u16 | W u16
   per unit: n_streams u32 | lengths u16*n_streams (words) | words u16[]
   magic separator u32 after every unit.
 """
@@ -61,38 +62,53 @@ from ..eval.timer import NoOpTimer
 from . import auto_crop, part_suffix
 from .bitcoding import MAGIC, MAGIC_SEP, DecodeError
 
+# Allowed physical float-batch sizes. Encode picks the smallest >= the
+# logical batch; each value is a separate compiled program per shape.
+FBATCHES = (1, 2, 4, 8)
+
+
+def fbatch_for(B: int) -> int:
+    for f in FBATCHES:
+        if f >= B:
+            return f
+    raise ValueError(f"logical batch {B} > max fbatch {FBATCHES[-1]}; "
+                     f"chunk the batch into groups of {FBATCHES[-1]}")
+
 
 def _group_syms(nhwc: jnp.ndarray) -> jnp.ndarray:
-    """(B,h,w,C) -> (C*B*n,) channel-major/batch-minor int32."""
-    B, h, w, C = nhwc.shape
+    """(F,h,w,C) -> (C*F*n,) channel-major/batch-minor int32."""
+    F, h, w, C = nhwc.shape
     return nhwc.transpose(3, 0, 1, 2).reshape(-1).astype(jnp.int32)
 
 
-def _ungroup_syms(flat_gn: jnp.ndarray, B: int, h: int, w: int
+def _ungroup_syms(flat_gn: jnp.ndarray, F: int, h: int, w: int
                   ) -> jnp.ndarray:
-    """(C*B, n) -> (B,h,w,C)."""
+    """(C*F, n) -> (F,h,w,C)."""
     G = flat_gn.shape[0]
-    C = G // B
-    return flat_gn.reshape(C, B, h, w).transpose(1, 2, 3, 0)
+    C = G // F
+    return flat_gn.reshape(C, F, h, w).transpose(1, 2, 3, 0)
 
 
-def _assemble_unit(ws, cols_b: int, C: int, B: int) -> np.ndarray:
-    """Per-file word arrays -> one (C*B*ns_c, cols_b) channel-major/
-    batch-minor padded array (host side)."""
+def _assemble_unit(ws, cols_b: int, C: int, F: int) -> np.ndarray:
+    """Per-file word arrays -> one (C*F*ns_c, cols_b) channel-major/
+    batch-minor padded array (host side). len(ws) = B <= F; dummy slots
+    b >= B repeat stream 0 (valid data, decoded then discarded)."""
+    B = len(ws)
     ns_c = ws[0].shape[0] // C
-    out = np.zeros((C * B * ns_c, cols_b), np.uint16)
+    out = np.zeros((C * F * ns_c, cols_b), np.uint16)
     for c in range(C):
-        for b in range(B):
-            w = ws[b][c * ns_c: (c + 1) * ns_c]
-            out[(c * B + b) * ns_c: (c * B + b + 1) * ns_c,
+        for b in range(F):
+            w = ws[b if b < B else 0]
+            w = w[c * ns_c: (c + 1) * ns_c]
+            out[(c * F + b) * ns_c: (c * F + b + 1) * ns_c,
                 : w.shape[1]] = w
     return out
 
 
 class TpuBitcoding:
-    """Encode/decode images with the fully on-device coder (format v2)."""
+    """Encode/decode images with the fully on-device coder (format v4)."""
 
-    VERSION = 3
+    VERSION = 4
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  times=None):
@@ -107,20 +123,18 @@ class TpuBitcoding:
         lo, hi = cfg.q.levels_range
         self._bn_levels = jnp.asarray(grids.levels(lo, hi, cfg.q.L))
 
-        # ---- shared float-producing jits (encode AND decode use these)
+        # ---- shared float-producing jits (encode AND decode use these;
+        # always dispatched at a physical batch from FBATCHES — the v4
+        # determinism contract).
         self._enc_forward = jax.jit(self._enc_forward_impl)
         self._get_P = {
             s: jax.jit(lambda p, bn, decF, s=s: self.net.apply(
                 p, s, bn, decF, method=MultiscaleNetwork.get_P))
             for s in range(cfg.num_scales)
         }
-        # DETERMINISM: every float program shared between encode and
-        # decode runs strictly PER IMAGE (batch 1). Programs compiled at
-        # different batch sizes may differ in float results (observed on
-        # the CPU backend), which would corrupt streams when a
-        # batch-encoded file is decoded alone. Batched callers loop
-        # these per image — dispatches are async, so they overlap.
-        self._tables_bn_1 = jax.jit(
+        # batched table builders: l (F,h,w,Kp) [+ decoded (F,h,w,C)] ->
+        # rows grouped channel-major/batch-minor, ready for the scans.
+        self._tables_bn = jax.jit(
             lambda l: tc.mixture_tables_all_channels(
                 self._bn, l, cfg.q.C, None))
         self._coarse_rgb = {
@@ -184,6 +198,7 @@ class TpuBitcoding:
         to overlap device compute with host fetch/write (pipelining)."""
         assert len(imgs) == len(pouts)
         B = len(imgs)
+        F = fbatch_for(B)
         for p in pouts:
             assert not os.path.isfile(p), p
         padded_list, pad_tuples = [], []
@@ -193,7 +208,10 @@ class TpuBitcoding:
                                   "constant")
             padded_list.append(pd[0])
             pad_tuples.append(tup)
-        padded = np.stack(padded_list)
+        # pad the batch to the physical fbatch by repeating image 0;
+        # dummy slots are coded too (their streams are never written).
+        padded = np.stack(padded_list
+                          + [padded_list[0]] * (F - B))
         _, H, W, _ = padded.shape
         x = jnp.asarray(padded.astype(np.float32))
         S = self.cfg.num_scales
@@ -211,26 +229,21 @@ class TpuBitcoding:
         uni_C = 3 if baseline else C_bn
         with self.times.run("uniform encode"):
             units.append(self._enc_uni(_group_syms(syms_c), uni_L,
-                                       n_u, uni_C * B))
+                                       n_u, uni_C * F))
             units_C.append(uni_C)
 
-        # decode-shared float stages run per image (see __init__ note)
-        dec_F_prev = [None] * B
-        bn_prev = [per_scale[S - 1][1][b:b + 1] for b in range(B)]
+        dec_F_prev = None
+        bn_prev = per_scale[S - 1][1]
         for scale in reversed(range(S)):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
-                    ls = []
-                    for b in range(B):
-                        l_b, dec_F_prev[b] = self._get_P[scale](
-                            self.params, bn_prev[b], dec_F_prev[b])
-                        ls.append(l_b)
+                    ls, dec_F_prev = self._get_P[scale](
+                        self.params, bn_prev, dec_F_prev)
                 if scale == 0:
                     target = jnp.asarray(padded.astype(np.int32))
                 else:
                     target = per_scale[scale - 1][0]
-                    bn_prev = [per_scale[scale - 1][1][b:b + 1]
-                               for b in range(B)]
+                    bn_prev = per_scale[scale - 1][1]
                 n = target.shape[1] * target.shape[2]
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
@@ -238,44 +251,37 @@ class TpuBitcoding:
                         # lambda-conditioned on the true channel values
                         a = target >> tc.FINE_BITS
                         bsym = target & ((1 << tc.FINE_BITS) - 1)
+                        tf = target.astype(jnp.float32)
                         ct = jnp.concatenate(
-                            [self._coarse_rgb[c](
-                                ls[b], target[b:b + 1].astype(
-                                    jnp.float32))
-                             for c in range(3) for b in range(B)], 0)
+                            [self._coarse_rgb[c](ls, tf)
+                             for c in range(3)], 0)
                         units.append(self._encode_unit(
-                            ct, _group_syms(a), tc.N_COARSE, n, 3 * B))
+                            ct, _group_syms(a), tc.N_COARSE, n, 3 * F))
                         units_C.append(3)
                         ft = jnp.concatenate(
                             [self._fine_rgb[c](
-                                ls[b],
-                                target[b:b + 1].astype(jnp.float32),
-                                a[b, ..., c].reshape(n))
-                             for c in range(3) for b in range(B)], 0)
+                                ls, tf,
+                                a[..., c].reshape(F * n))
+                             for c in range(3)], 0)
                         units.append(self._encode_unit(
                             ft, _group_syms(bsym), 1 << tc.FINE_BITS,
-                            n, 3 * B))
+                            n, 3 * F))
                         units_C.append(3)
                     else:
-                        tables = jnp.concatenate(
-                            [self._tables_bn_1(ls[b])
-                             .reshape(C_bn, n, -1)[c]
-                             for c in range(C_bn) for b in range(B)], 0)
+                        tables = self._tables_bn(ls)
                         units.append(self._encode_unit(
                             tables, _group_syms(target), self._bn.L, n,
-                            C_bn * B))
+                            C_bn * F))
                         units_C.append(C_bn)
 
-        return dict(units=units, units_C=units_C, pouts=pouts, B=B,
-                    S=S, H=H, W=W, pad_tuples=pad_tuples,
-                    padded_shape=padded.shape)
+        return dict(units=units, units_C=units_C, pouts=pouts, B=B, F=F,
+                    S=S, H=H, W=W, pad_tuples=pad_tuples)
 
     def encode_batch_finish(self, handle) -> List[float]:
         units, units_C = handle["units"], handle["units_C"]
-        pouts, B, S = handle["pouts"], handle["B"], handle["S"]
-        H, W = handle["H"], handle["W"]
+        pouts, B, F = handle["pouts"], handle["B"], handle["F"]
+        S, H, W = handle["S"], handle["H"], handle["W"]
         pad_tuples = handle["pad_tuples"]
-        C_bn = self.cfg.q.C
         # ---- fetch: lengths first (tiny, one sync), then ONE flat
         # transfer of all units' used columns (each blocking sync costs
         # 50-100ms through the tunnel; widths bucketed to multiples of
@@ -300,16 +306,16 @@ class TpuBitcoding:
             for b, pout in enumerate(pouts):
                 with open(pout, "wb") as fout:
                     fout.write(MAGIC)
-                    fout.write(struct.pack("<BBH", self.VERSION, S,
-                                           tc.T_STREAM))
+                    fout.write(struct.pack("<BBHB", self.VERSION, S,
+                                           tc.T_STREAM, F))
                     fout.write(struct.pack("<4H", *pad_tuples[b]))
                     fout.write(struct.pack("<HH", H, W))
                     for ui, (words, lens) in enumerate(
                             zip(words_np, lens_np)):
                         C = units_C[ui]
-                        ns_c = words.shape[0] // (C * B)
-                        w_b = words.reshape(C, B, ns_c, -1)[:, b]
-                        l_b = lens.reshape(C, B, ns_c)[:, b]
+                        ns_c = words.shape[0] // (C * F)
+                        w_b = words.reshape(C, F, ns_c, -1)[:, b]
+                        l_b = lens.reshape(C, F, ns_c)[:, b]
                         _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
                                     l_b.reshape(-1))
                         fout.write(struct.pack("<I", MAGIC_SEP))
@@ -331,7 +337,7 @@ class TpuBitcoding:
         return self.decode_batch([pin])[0]
 
     def decode_batch(self, pins: Sequence[str]) -> List[np.ndarray]:
-        """Decode B same-shape v2 files together."""
+        """Decode B same-shape v4 files together."""
         return self.decode_batch_finish(self.decode_batch_async(pins))
 
     def decode_batch_async(self, pins: Sequence[str]):
@@ -348,9 +354,18 @@ class TpuBitcoding:
             headers.append(hdr)
             per_file_units.append(units)
         S, H, W = headers[0]["S"], headers[0]["H"], headers[0]["W"]
+        F = headers[0]["F"]
         for hdr in headers:
             if (hdr["S"], hdr["H"], hdr["W"]) != (S, H, W):
                 raise DecodeError("decode_batch needs same-shape files")
+            if hdr["F"] != F:
+                raise DecodeError(
+                    "decode_batch needs files with the same fbatch "
+                    f"(got {hdr['F']} and {F}); decode them separately")
+        if B > F:
+            raise DecodeError(
+                f"decoding {B} files of fbatch {F} together would change "
+                f"float programs; decode in groups of <= {F}")
 
         C_bn = self.cfg.q.C
 
@@ -360,7 +375,6 @@ class TpuBitcoding:
         # tunnel), then slice + pad to the static (lanes, T+2) scan
         # shape on device per unit (cheap dispatches)
         full = tc.T_STREAM + 2
-        C_bn = self.cfg.q.C
         unit_Cs = [3 if baseline0 else C_bn]
         for s in reversed(range(S_cfg)):
             unit_Cs += [3, 3] if (s == 0 or baseline0) else [C_bn]
@@ -372,17 +386,17 @@ class TpuBitcoding:
             host_units.append((ws, cols_b, unit_Cs[ui]))
         flat_np = np.concatenate(
             [np.zeros(0, np.uint16)] + [
-                _assemble_unit(ws, cols_b, C, B).reshape(-1)
+                _assemble_unit(ws, cols_b, C, F).reshape(-1)
                 for ws, cols_b, C in host_units])
         flat_dev = jnp.asarray(flat_np)
         unit_offsets = np.cumsum(
-            [0] + [ws[0].shape[0] * B * cols_b
+            [0] + [ws[0].shape[0] * F * cols_b
                    for ws, cols_b, _ in host_units])
 
         def unit_words(ui: int, C: int) -> jnp.ndarray:
             ws, cols_b, C_u = host_units[ui]
             assert C == C_u, (ui, C, C_u)
-            rows = ws[0].shape[0] * B
+            rows = ws[0].shape[0] * F
             dev = flat_dev[int(unit_offsets[ui]):
                            int(unit_offsets[ui + 1])].reshape(rows,
                                                               cols_b)
@@ -396,62 +410,53 @@ class TpuBitcoding:
         with self.times.run("uniform decode"):
             if baseline:
                 syms = self._dec_uni(unit_words(0, 3), self._rgb.L,
-                                     h * w, 3 * B)
-                syms = _ungroup_syms(syms, B, h, w)
+                                     h * w, 3 * F)
+                syms = _ungroup_syms(syms, F, h, w)
                 bn_prev = syms.astype(jnp.float32) - mean
             else:
                 syms = self._dec_uni(unit_words(0, C_bn), self._bn.L,
-                                     h * w, C_bn * B)
-                syms = _ungroup_syms(syms, B, h, w)
+                                     h * w, C_bn * F)
+                syms = _ungroup_syms(syms, F, h, w)
                 bn_prev = self._bn_levels[syms]
 
-        # decode-shared float stages run per image (see __init__ note)
-        dec_F_prev = [None] * B
-        bn_prev = [bn_prev[b:b + 1] for b in range(B)]
+        dec_F_prev = None
         imgs = None
         ui = 1
         for scale in reversed(range(S)):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
-                    ls = []
-                    for b in range(B):
-                        l_b, dec_F_prev[b] = self._get_P[scale](
-                            self.params, bn_prev[b], dec_F_prev[b])
-                        ls.append(l_b)
+                    ls, dec_F_prev = self._get_P[scale](
+                        self.params, bn_prev, dec_F_prev)
                 hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
                         w_coarse = unit_words(ui, 3)
                         w_fine = unit_words(ui + 1, 3)
                         ui += 2
-                        rgb = self._decode_rgb(ls, w_coarse, w_fine, B,
+                        rgb = self._decode_rgb(ls, w_coarse, w_fine, F,
                                                hs, ws_)
                         if scale == 0:
                             imgs = rgb
                         else:
-                            bn_prev = [rgb[b:b + 1].astype(jnp.float32)
-                                       - mean for b in range(B)]
+                            bn_prev = rgb.astype(jnp.float32) - mean
                     else:
                         words = unit_words(ui, C_bn)
                         ui += 1
                         n = hs * ws_
-                        tables = jnp.concatenate(
-                            [self._tables_bn_1(ls[b])
-                             .reshape(C_bn, n, -1)[c]
-                             for c in range(C_bn) for b in range(B)], 0)
+                        tables = self._tables_bn(ls)
                         syms = self._decode_unit(
-                            tables, words, self._bn.L, n, C_bn * B)
-                        bn = self._bn_levels[
-                            _ungroup_syms(syms, B, hs, ws_)]
-                        bn_prev = [bn[b:b + 1] for b in range(B)]
+                            tables, words, self._bn.L, n, C_bn * F)
+                        bn_prev = self._bn_levels[
+                            _ungroup_syms(syms, F, hs, ws_)]
 
         return dict(imgs=imgs, headers=headers, B=B)
 
     def decode_batch_finish(self, handle) -> List[np.ndarray]:
+        B = handle["B"]
         with self.times.run("fetch images"):
-            imgs = np.asarray(handle["imgs"]).astype(np.uint8)
+            imgs = np.asarray(handle["imgs"][:B]).astype(np.uint8)
         out = []
-        for b in range(handle["B"]):
+        for b in range(B):
             im = imgs[b:b + 1]
             tup = handle["headers"][b]["pad"]
             if any(tup):
@@ -459,35 +464,28 @@ class TpuBitcoding:
             out.append(im)
         return out
 
-    def _decode_rgb(self, ls, w_coarse, w_fine, B, hs, ws):
+    def _decode_rgb(self, ls, w_coarse, w_fine, F, hs, ws):
         """Channel-sequential two-level RGB decode with lambda
         conditioning: per channel, decode the coarse symbol a against
         16-entry tables, build the conditional fine tables from a,
-        decode b, and reconstruct s = 16a + b. Table builders run per
-        image (B=1) for the cross-batch determinism contract; the rANS
-        scans stay fused across the batch."""
+        decode b, and reconstruct s = 16a + b. Table builders run
+        batched at the physical fbatch (v4 determinism contract); the
+        rANS scans stay fused across the batch."""
         n = hs * ws
-        ns_c = tc.layout_for(n, B).ns_c
-        decoded = [jnp.zeros((1, hs, ws, 3), jnp.float32)
-                   for _ in range(B)]
+        ns_c = tc.layout_for(n, F).ns_c
+        decoded = jnp.zeros((F, hs, ws, 3), jnp.float32)
         ch_syms = []
         for c in range(3):
-            rows = slice(c * B * ns_c, (c + 1) * B * ns_c)
-            ct = jnp.concatenate(
-                [self._coarse_rgb[c](ls[b], decoded[b])
-                 for b in range(B)], 0)               # (B*n, 16)
-            a = self._decode_unit(ct, w_coarse[rows], tc.N_COARSE, n, B)
-            ft = jnp.concatenate(
-                [self._fine_rgb[c](ls[b], decoded[b], a[b].reshape(n))
-                 for b in range(B)], 0)
+            rows = slice(c * F * ns_c, (c + 1) * F * ns_c)
+            ct = self._coarse_rgb[c](ls, decoded)        # (F*n, 16)
+            a = self._decode_unit(ct, w_coarse[rows], tc.N_COARSE, n, F)
+            ft = self._fine_rgb[c](ls, decoded, a.reshape(F * n))
             b_ = self._decode_unit(ft, w_fine[rows],
-                                   1 << tc.FINE_BITS, n, B)
-            s_c = ((a.reshape(B, hs, ws) << tc.FINE_BITS)
-                   | b_.reshape(B, hs, ws))
+                                   1 << tc.FINE_BITS, n, F)
+            s_c = ((a.reshape(F, hs, ws) << tc.FINE_BITS)
+                   | b_.reshape(F, hs, ws))
             ch_syms.append(s_c)
-            for b in range(B):
-                decoded[b] = decoded[b].at[..., c].set(
-                    s_c[b:b + 1].astype(jnp.float32))
+            decoded = decoded.at[..., c].set(s_c.astype(jnp.float32))
         return jnp.stack(ch_syms, axis=-1)
 
 
@@ -524,7 +522,7 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
     with open(pin, "rb") as fin:
         if fin.read(4) != MAGIC:
             raise DecodeError("bad magic")
-        version, S, t_stream = struct.unpack("<BBH", fin.read(4))
+        version, S, t_stream, F = struct.unpack("<BBHB", fin.read(5))
         if version != TpuBitcoding.VERSION:
             raise DecodeError(f"file is format v{version}; this is "
                               f"the v{TpuBitcoding.VERSION} (TPU) decoder")
@@ -533,13 +531,15 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
         if t_stream != tc.T_STREAM:
             raise DecodeError(
                 f"stream length {t_stream} != built-in {tc.T_STREAM}")
+        if F not in FBATCHES:
+            raise DecodeError(f"bad fbatch {F}")
         pad_tuple = struct.unpack("<4H", fin.read(8))
         H, W = struct.unpack("<HH", fin.read(4))
         units = []
         for _ in range(n_units):
             units.append(_read_unit(fin))
             _expect_sep(fin)
-    return {"S": S, "H": H, "W": W, "pad": pad_tuple}, units
+    return {"S": S, "H": H, "W": W, "F": F, "pad": pad_tuple}, units
 
 
 def _expect_sep(fin):

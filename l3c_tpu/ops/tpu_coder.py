@@ -43,8 +43,13 @@ import numpy as np
 
 from ..models import dmll as dmll_mod
 
-T_STREAM = 1024         # symbols per rANS stream (file header records it)
-UNROLL = 4              # symbols coded per scan step
+# Stream geometry. T_STREAM (symbols per rANS stream) trades sequential
+# scan depth against per-stream framing overhead (6 bytes each) and is
+# recorded in the file header (decode rejects a mismatch). UNROLL
+# (symbols coded per scan step) only affects execution, not the format.
+# Env overrides exist for benchmarking sweeps.
+T_STREAM = int(__import__("os").environ.get("L3C_T_STREAM", "1024"))
+UNROLL = int(__import__("os").environ.get("L3C_UNROLL", "8"))
 RANS_L = 1 << 16        # state lower bound
 PROB_BITS = 16
 

@@ -111,12 +111,22 @@ def test_v2_batch_encode_decode(setup, tmp_path):
     outs = bc.decode_batch(pouts)
     for im, out in zip(imgs, outs):
         np.testing.assert_array_equal(out, im)
-    # a batched file decodes alone, and a single-encoded file matches
+    # a batch-encoded file decodes ALONE bit-exactly: the v4 contract —
+    # decode pads its float programs back to the recorded fbatch, and no
+    # operator mixes batch slots, so the slot position doesn't matter
     np.testing.assert_array_equal(bc.decode(pouts[1]), imgs[1])
+    # any subset / reordering of the batch decodes too
+    outs = bc.decode_batch([pouts[2], pouts[0]])
+    np.testing.assert_array_equal(outs[0], imgs[2])
+    np.testing.assert_array_equal(outs[1], imgs[0])
+    # single-image encodes record fbatch=1 and round-trip
     p_single = str(tmp_path / "single.l3c")
     bc.encode(imgs[0], p_single)
     np.testing.assert_array_equal(bc.decode(p_single), imgs[0])
-    assert open(p_single, "rb").read() == open(pouts[0], "rb").read()
+    # mixing files of different fbatch in one decode_batch is rejected
+    # (their float programs differ)
+    with pytest.raises(DecodeError, match="fbatch"):
+        bc.decode_batch([p_single, pouts[0]])
 
 
 def test_v2_rgb_baseline_roundtrip(tmp_path):
