@@ -32,12 +32,20 @@ def main(argv=None):
     p.add_argument("--val_frac", type=float, default=0.02)
     p.add_argument("--max_imgs", type=int, default=None)
     p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--noise_frac", type=float, default=0.3,
+                   help="fraction of offline train tiles given sensor-"
+                        "like noise (robustness augmentation)")
+    p.add_argument("--extra_train_dirs", default=None,
+                   help="colon-separated dirs of ready tiles to mix in")
     flags = p.parse_args(argv)
 
     if flags.offline:
         from ..data.offline_corpus import build_corpus
-        train_dir, val_dir, _ = build_corpus(flags.out_root,
-                                             tile=flags.tile)
+        extra = (flags.extra_train_dirs.split(":")
+                 if flags.extra_train_dirs else None)
+        train_dir, val_dir, _ = build_corpus(
+            flags.out_root, tile=flags.tile, noise_frac=flags.noise_frac,
+            extra_train_dirs=extra)
     elif flags.inp_dir:
         from ..data import prep
         from ..data.images import iter_images_in

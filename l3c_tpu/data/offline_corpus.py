@@ -113,9 +113,18 @@ def collect_sources(tmp_dir: str) -> Dict[str, List[Tuple[str, str]]]:
 
 
 def _tiles_from(img: np.ndarray, kind: str, n_tiles: int, tile: int,
-                rng: np.random.RandomState) -> List[np.ndarray]:
+                rng: np.random.RandomState,
+                noise_frac: float = 0.0) -> List[np.ndarray]:
     """Random-scale random crops (reference importer's random Lanczos
-    downscale, import_train_images.py:150-167, adapted to small pools)."""
+    downscale, import_train_images.py:150-167, adapted to small pools).
+
+    noise_frac: fraction of tiles that get small uniform sensor-like
+    noise added. The reference's Open Images dump carries camera/JPEG
+    noise everywhere; our package sources are mostly CLEAN textures, so
+    a model trained on them alone is catastrophically miscalibrated on
+    noisy held-out photos (measured: >8 bpsp, worse than a uniform
+    prior). Noise-augmented tiles restore that robustness.
+    """
     from PIL import Image
     h, w = img.shape[:2]
     tiles = []
@@ -135,17 +144,30 @@ def _tiles_from(img: np.ndarray, kind: str, n_tiles: int, tile: int,
             c = c[:, ::-1]
         if kind == "texture":
             c = np.rot90(c, rng.randint(0, 4))
-        tiles.append(np.ascontiguousarray(c))
+        c = np.ascontiguousarray(c)
+        if rng.rand() < noise_frac:
+            k = int(rng.choice([1, 2, 4, 6]))
+            c = np.clip(c.astype(np.int16)
+                        + rng.randint(-k, k + 1, c.shape), 0,
+                        255).astype(np.uint8)
+        tiles.append(c)
     return tiles
 
 
 def build_corpus(out_root: str, tile: int = 256,
                  tiles_scene: int = 24, tiles_texture: int = 40,
-                 seed: int = 0) -> Tuple[str, str, str]:
+                 seed: int = 0, noise_frac: float = 0.3,
+                 extra_train_dirs: Optional[List[str]] = None
+                 ) -> Tuple[str, str, str]:
     """Assemble train/val tile sets + whole held-out val images.
 
+    extra_train_dirs: directories of ready-made training images copied
+    into the train split verbatim (e.g. a synthetic-image set mixed in
+    for distributional diversity — the package-photo pool alone is ~20
+    sources and a 5M-param model memorizes it).
     Returns (train_dir, val_dir, val_full_dir)."""
     from PIL import Image
+    import shutil
     src = collect_sources(os.path.join(out_root, "sources"))
     train_dir = os.path.join(out_root, "train")
     val_dir = os.path.join(out_root, "val")
@@ -162,9 +184,11 @@ def build_corpus(out_root: str, tile: int = 256,
                 Image.fromarray(img).save(
                     os.path.join(val_full, base + ".png"))
             n = tiles_texture if kind == "texture" else tiles_scene
+            nf = noise_frac if split == "train" else 0.0
             if split == "val":
                 n = max(4, n // 3)
-            for i, t in enumerate(_tiles_from(img, kind, n, tile, rng)):
+            for i, t in enumerate(_tiles_from(img, kind, n, tile, rng,
+                                              noise_frac=nf)):
                 d = train_dir if split == "train" else val_dir
                 Image.fromarray(t).save(
                     os.path.join(d, f"{base}_{i:03d}.png"))
@@ -172,6 +196,13 @@ def build_corpus(out_root: str, tile: int = 256,
                 n_train += n
             else:
                 n_val += n
+    for xd in (extra_train_dirs or []):
+        from .images import iter_images_in
+        for p in iter_images_in(xd):
+            dst = os.path.join(train_dir, "x_" + os.path.basename(p))
+            if not os.path.isfile(dst):
+                shutil.copy(p, dst)
+            n_train += 1
     print(f"offline corpus: {n_train} train tiles, {n_val} val tiles, "
           f"{len(src['val'])} whole held-out val images -> {out_root}")
     return train_dir, val_dir, val_full
