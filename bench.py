@@ -39,7 +39,13 @@ def main():
     rng = np.random.RandomState(0)
     params = jax.jit(net.init)(jax.random.PRNGKey(0),
                                jnp.zeros((1, 512, 512, 3), jnp.float32))
-    bc = make_bitcoding(cfg, net, params)  # format v2: on-device rANS
+    # L3C_TIMES=1: per-stage breakdown on stderr (pair with
+    # L3C_SYNC_TIMES=1 so spans measure device work, not async dispatch)
+    times = None
+    if os.environ.get("L3C_TIMES", "0") == "1":
+        from l3c_tpu.eval.timer import StackTimer
+        times = StackTimer()
+    bc = make_bitcoding(cfg, net, params, times=times)
 
     # Mildly structured image (random model => near-worst-case bitrate;
     # throughput is what we measure).
@@ -72,6 +78,8 @@ def main():
         # host IO overlaps device compute (production-serving shape).
         n_rounds = 5
         encs, decs, encs1, decs1 = [], [], [], []
+        if times is not None:
+            bc.times = times  # record only the timed batch rounds
         handle = bc.encode_batch_async(
             imgs, [os.path.join(d, f"r0_{b}.l3c") for b in range(B)])
         for i in range(n_rounds):
@@ -99,6 +107,11 @@ def main():
             dh = dn
             for im, o in zip(imgs, outs):
                 assert np.array_equal(o, im)
+        if times is not None:
+            from l3c_tpu.eval.timer import NoOpTimer
+            bc.times = NoOpTimer()
+            print("# stage breakdown (mean over timed rounds):\n"
+                  + times.report("mean"), file=sys.stderr)
         for i in range(2):
             # single-image latency, for the stderr report
             p1 = os.path.join(d, f"s{i}.l3c")

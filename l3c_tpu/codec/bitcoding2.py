@@ -66,6 +66,17 @@ from .bitcoding import MAGIC, MAGIC_SEP, DecodeError
 # logical batch; each value is a separate compiled program per shape.
 FBATCHES = (1, 2, 4, 8)
 
+# L3C_SYNC_TIMES=1: force a device sync (1-element fetch; axon's
+# block_until_ready is a no-op) at the end of every timed stage so the
+# StackTimer spans measure device execution instead of async dispatch.
+_SYNC_TIMES = os.environ.get("L3C_SYNC_TIMES", "0") == "1"
+
+
+def _sync(x):
+    if _SYNC_TIMES and x is not None:
+        np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+    return x
+
 
 def fbatch_for(B: int) -> int:
     for f in FBATCHES:
@@ -111,11 +122,19 @@ class TpuBitcoding:
     VERSION = 4
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
-                 times=None):
+                 times=None, device=None):
+        """device: optional jax.Device pinning ALL of this codec's work
+        (params, inputs, every jit dispatch) to one chip. Used by
+        parallel.fanout.CodecFanout to run one codec instance per mesh
+        device — the per-device executables are the same lowering at the
+        same shapes, so the v4 fixed-physical-batch determinism contract
+        holds across devices of the same platform."""
         ensure_compile_cache()
         self.cfg = cfg
         self.net = net
-        self.params = params
+        self._device = device
+        self.params = (jax.device_put(params, device)
+                       if device is not None else params)
         self.times = times if times is not None else NoOpTimer()
 
         self._rgb = blueprint.rgb_spec(cfg)
@@ -163,6 +182,11 @@ class TpuBitcoding:
             lambda words, L, n, G: tc.decode_uniform(
                 words, L, tc.layout_for(n, G)),
             static_argnums=(1, 2, 3))
+
+    def _put(self, arr: np.ndarray) -> jnp.ndarray:
+        if self._device is not None:
+            return jax.device_put(arr, self._device)
+        return jnp.asarray(arr)
 
     def _enc_forward_impl(self, params, x):
         enc_outs = self.net.apply(params, layers.sub_rgb_mean(x),
@@ -213,12 +237,13 @@ class TpuBitcoding:
         padded = np.stack(padded_list
                           + [padded_list[0]] * (F - B))
         _, H, W, _ = padded.shape
-        x = jnp.asarray(padded.astype(np.float32))
+        x = self._put(padded.astype(np.float32))
         S = self.cfg.num_scales
         C_bn = self.cfg.q.C
 
         with self.times.run("[-] encode forwardpass"):
             per_scale = self._enc_forward(self.params, x)
+            _sync(per_scale[0][0])
 
         baseline = self.cfg.rgb_bicubic_baseline
         units = []       # (words, lens)
@@ -231,6 +256,7 @@ class TpuBitcoding:
             units.append(self._enc_uni(_group_syms(syms_c), uni_L,
                                        n_u, uni_C * F))
             units_C.append(uni_C)
+            _sync(units[-1][0])
 
         dec_F_prev = None
         bn_prev = per_scale[S - 1][1]
@@ -239,8 +265,9 @@ class TpuBitcoding:
                 with self.times.run("get_P"):
                     ls, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
+                    _sync(ls)
                 if scale == 0:
-                    target = jnp.asarray(padded.astype(np.int32))
+                    target = self._put(padded.astype(np.int32))
                 else:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
@@ -273,6 +300,7 @@ class TpuBitcoding:
                             tables, _group_syms(target), self._bn.L, n,
                             C_bn * F))
                         units_C.append(C_bn)
+                _sync(units[-1][0])
 
         return dict(units=units, units_C=units_C, pouts=pouts, B=B, F=F,
                     S=S, H=H, W=W, pad_tuples=pad_tuples)
@@ -382,13 +410,21 @@ class TpuBitcoding:
         for ui in range(n_units):
             ws = [per_file_units[b][ui] for b in range(B)]
             cols = max(2, max(w.shape[1] for w in ws))
-            cols_b = min(-(-cols // 32) * 32, full)
+            # Bucket the word-array width to a power of two (>=32) instead
+            # of padding every unit to T+2: the decode scan's word select
+            # is O(width) per symbol, so running it at the real stream
+            # width (typically 128-256 of 1026 columns) cuts the dominant
+            # decode cost 4-8x. Pow2 buckets bound the compile count.
+            cols_b = 32
+            while cols_b < cols:
+                cols_b *= 2
+            cols_b = min(cols_b, full)
             host_units.append((ws, cols_b, unit_Cs[ui]))
         flat_np = np.concatenate(
             [np.zeros(0, np.uint16)] + [
                 _assemble_unit(ws, cols_b, C, F).reshape(-1)
                 for ws, cols_b, C in host_units])
-        flat_dev = jnp.asarray(flat_np)
+        flat_dev = self._put(flat_np)
         unit_offsets = np.cumsum(
             [0] + [ws[0].shape[0] * F * cols_b
                    for ws, cols_b, _ in host_units])
@@ -397,12 +433,9 @@ class TpuBitcoding:
             ws, cols_b, C_u = host_units[ui]
             assert C == C_u, (ui, C, C_u)
             rows = ws[0].shape[0] * F
-            dev = flat_dev[int(unit_offsets[ui]):
-                           int(unit_offsets[ui + 1])].reshape(rows,
-                                                              cols_b)
-            if cols_b < full:
-                dev = jnp.pad(dev, ((0, 0), (0, full - cols_b)))
-            return dev
+            return flat_dev[int(unit_offsets[ui]):
+                            int(unit_offsets[ui + 1])].reshape(rows,
+                                                               cols_b)
 
         baseline = self.cfg.rgb_bicubic_baseline
         mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
@@ -418,6 +451,7 @@ class TpuBitcoding:
                                      h * w, C_bn * F)
                 syms = _ungroup_syms(syms, F, h, w)
                 bn_prev = self._bn_levels[syms]
+            _sync(bn_prev)
 
         dec_F_prev = None
         imgs = None
@@ -427,6 +461,7 @@ class TpuBitcoding:
                 with self.times.run("get_P"):
                     ls, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
+                    _sync(ls)
                 hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
@@ -448,6 +483,7 @@ class TpuBitcoding:
                             tables, words, self._bn.L, n, C_bn * F)
                         bn_prev = self._bn_levels[
                             _ungroup_syms(syms, F, hs, ws_)]
+                    _sync(imgs if scale == 0 else bn_prev)
 
         return dict(imgs=imgs, headers=headers, B=B)
 

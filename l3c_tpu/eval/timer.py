@@ -58,7 +58,8 @@ class StackTimer:
             if k not in vals:
                 continue
             depth = k.count("/")
-            lines.append(f"{'  ' * depth}{k.rsplit('/', 1)[-1]}: "
+            label = k.rsplit("/", 1)[-1] if depth == 0 else k
+            lines.append(f"{'  ' * depth}{label}: "
                          f"{vals[k] * 1000:.1f}ms")
         return "\n".join(lines)
 

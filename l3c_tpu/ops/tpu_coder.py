@@ -202,15 +202,21 @@ def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
     emits = emits.reshape(T, ns).T
     words = words.reshape(T, ns).T
     n_emit = jnp.sum(emits, axis=1).astype(jnp.int32)       # (NS,)
-    # word from chrono position t lands at index 2 + (n_emit - cumsum_t)
+    # Pack emitted words into decode order. The emitted word from chrono
+    # position t lands at stream index (n_emit - cumsum_t): a per-lane
+    # variable-position write. A row scatter is a slow serial unit on
+    # TPU; instead SORT (pos, word) pairs along the stream axis — the
+    # bitonic sort network is pure wide VPU compare/select work. Dropped
+    # (non-emit) slots get a big sentinel key and sink to the row tail.
     cum = jnp.cumsum(emits.astype(jnp.int32), axis=1)       # inclusive
-    pos = 2 + (n_emit[:, None] - cum)
-    pos = jnp.where(emits, pos, T + 2)                      # drop slot
-    out = jnp.zeros((ns, T + 3), jnp.uint16)
-    rows = jnp.broadcast_to(jnp.arange(ns)[:, None], pos.shape)
-    out = out.at[rows, pos].set(words, mode="drop")
-    out = out.at[:, 0].set((xf & jnp.uint32(0xFFFF)).astype(jnp.uint16))
-    out = out.at[:, 1].set((xf >> 16).astype(jnp.uint16))
+    pos = jnp.where(emits, n_emit[:, None] - cum, T + 1)
+    _, sorted_words = jax.lax.sort(
+        (pos, words.astype(jnp.int32)), dimension=1, num_keys=1)
+    state = jnp.stack(
+        [(xf & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+         (xf >> 16).astype(jnp.uint16)], axis=1)            # (NS, 2)
+    out = jnp.concatenate([state, sorted_words.astype(jnp.uint16)],
+                          axis=1)
     return out[:, : T + 2], n_emit + 2
 
 

@@ -1,0 +1,140 @@
+"""Multi-device fan-out for eval and the codec (SURVEY section 2.8).
+
+The reference is single-GPU for both testing and coding; batched eval /
+encode / decode here fan out across every chip of a mesh:
+
+- `CodecFanout`: one pinned `TpuBitcoding` per device. Each instance
+  runs the SAME jitted programs at the same shapes on its own chip, so
+  the format-v4 fixed-physical-batch determinism contract holds: a file
+  encoded on chip 3 decodes bit-exactly on chip 0 (same lowering, same
+  platform). Work is dealt round-robin in fbatch-sized groups and
+  dispatched asynchronously on all chips before any result is fetched —
+  D chips give ~D times the codec throughput because the pipeline is
+  device-bound (auto_crop tiles of one huge image fan out the same way
+  via encode_paths/decode_paths on the .partN files).
+- `sharded_eval_fn`: a bpsp-eval step jitted over the mesh with the
+  batch sharded on its leading axis and the metric mean computed
+  IN-GRAPH, so XLA inserts the cross-device reduction (psum over ICI)
+  and every invocation reduces in the same deterministic order —
+  unlike averaging per-host floats arriving in arbitrary order.
+
+Reference functional analogue: src/auto_crop.py:55-136 (tiles) +
+src/test/multiscale_tester.py (per-image eval loop).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import blueprint
+from ..config import MsConfig
+from ..models.network import MultiscaleNetwork
+from . import mesh as mesh_mod
+
+
+# ----------------------------------------------------------- codec
+
+
+class CodecFanout:
+    """Fan encode/decode batches across mesh devices, one codec each."""
+
+    def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
+                 devices: Optional[Sequence[jax.Device]] = None,
+                 group: int = 8):
+        from ..codec.bitcoding2 import TpuBitcoding, fbatch_for
+        self.devices = list(devices if devices is not None
+                            else jax.devices())
+        self.group = group
+        fbatch_for(group)  # validate group size against FBATCHES
+        self.codecs = [TpuBitcoding(cfg, net, params, device=d)
+                       for d in self.devices]
+
+    def encode_paths(self, imgs: Sequence[np.ndarray],
+                     pouts: Sequence[str]) -> List[float]:
+        """Encode same-shape images, fanned across all devices."""
+        assert len(imgs) == len(pouts)
+        groups = _chunk(list(zip(imgs, pouts)), self.group)
+        handles = []
+        for gi, g in enumerate(groups):   # dispatch phase: all devices
+            bc = self.codecs[gi % len(self.codecs)]
+            handles.append(
+                (bc, bc.encode_batch_async([im for im, _ in g],
+                                           [p for _, p in g])))
+        bpsps: List[float] = []
+        for bc, h in handles:             # fetch phase
+            bpsps.extend(bc.encode_batch_finish(h))
+        return bpsps
+
+    def decode_paths(self, pins: Sequence[str]) -> List[np.ndarray]:
+        """Decode same-shape files, fanned across all devices."""
+        groups = _chunk(list(pins), self.group)
+        handles = []
+        for gi, g in enumerate(groups):
+            bc = self.codecs[gi % len(self.codecs)]
+            handles.append((bc, bc.decode_batch_async(g)))
+        outs: List[np.ndarray] = []
+        for bc, h in handles:
+            outs.extend(bc.decode_batch_finish(h))
+        return outs
+
+
+def _chunk(xs: list, n: int) -> List[list]:
+    return [xs[i: i + n] for i in range(0, len(xs), n)]
+
+
+# ------------------------------------------------------------ eval
+
+
+def _eval_fwd(cfg: MsConfig, net: MultiscaleNetwork, recursive: int = 0):
+    def fwd(params, x):
+        out = net.apply(params, x.astype(jnp.float32), train=False,
+                        auto_recurse=recursive)
+        loss = blueprint.compute_loss(
+            cfg, out,
+            auto_recursive_from=(cfg.num_scales if recursive else None))
+        return blueprint.total_bpsp(loss)
+    return fwd
+
+
+def sharded_eval_fn(cfg: MsConfig, net: MultiscaleNetwork, mesh: Mesh,
+                    recursive: int = 0):
+    """(params, batch_u8f32 (B,H,W,3)) -> scalar bpsp, batch sharded
+    across the mesh, mean reduced in-graph (deterministic collective)."""
+    return jax.jit(
+        _eval_fwd(cfg, net, recursive),
+        in_shardings=(NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P(mesh_mod.DATA_AXIS))),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
+def eval_testset_sharded(cfg, net, params, mesh,
+                         crops: Sequence[np.ndarray]) -> float:
+    """Mean bpsp over same-shape crops, fanned over the mesh in
+    device-count-sized sharded batches. Full groups use the in-graph
+    sharded mean; a ragged tail (fewer crops than devices) falls back to
+    a batch-1 eval per crop so no dummy slot ever enters the average."""
+    D = len(mesh.devices.reshape(-1))
+    fn = sharded_eval_fn(cfg, net, mesh)
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    vals: List[float] = []
+    weights: List[int] = []
+    tail: List[np.ndarray] = []
+    for g in _chunk(list(crops), D):
+        if len(g) == D:
+            batch = mesh_mod.shard_batch(mesh, np.stack(g))
+            vals.append(float(fn(params_r, batch)))
+            weights.append(D)
+        else:
+            tail = g
+    if tail:
+        fn1 = jax.jit(_eval_fwd(cfg, net))
+        for crop in tail:
+            vals.append(float(fn1(params, jnp.asarray(crop[None]))))
+            weights.append(1)
+    tw = float(sum(weights))
+    return float(sum(v * w for v, w in zip(vals, weights)) / tw)

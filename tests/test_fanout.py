@@ -1,0 +1,113 @@
+"""Multi-device fan-out tests (virtual 8-CPU mesh, conftest.py):
+
+- single-vs-8-device GRADIENT equivalence of the DP train step (a wrong
+  psum would change the update, not just blow up the loss),
+- sharded in-graph eval mean == single-device mean,
+- codec fan-out: encode on one device decodes bit-exactly on another.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from l3c_tpu.config import (DlConfig, MsConfig, EncConfig, DecConfig,
+                            QConfig, ProbConfig)
+from l3c_tpu.models.network import MultiscaleNetwork
+from l3c_tpu.parallel import fanout, mesh as mesh_mod
+from l3c_tpu.train import optim as optim_mod
+from l3c_tpu.train import schedule as sched
+from l3c_tpu.train.trainer import make_train_state, make_train_step
+
+
+def _tiny_cfg():
+    return MsConfig(num_scales=2, Cf=8,
+                    enc=EncConfig(num_blocks=1), dec=DecConfig(num_blocks=1),
+                    q=QConfig(C=2, L=25), prob=ProbConfig(K=2))
+
+
+def _batch(n, crop, seed=0):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 255, size=(n, 1, 1, 3))
+    gy = np.linspace(0, 1, crop)[None, :, None, None]
+    gx = np.linspace(0, 1, crop)[None, None, :, None]
+    img = (a * gy + (255 - a) * gx) / (gy + gx + 1e-9).clip(min=1)
+    return np.clip(img + rng.randn(n, crop, crop, 3) * 4, 0,
+                   255).astype(np.uint8)
+
+
+def test_dp_step_matches_single_device():
+    """One DP train step over 8 devices must produce the same loss and
+    (numerically) the same updated parameters as the same step on one
+    device: DP changes WHERE the gradient terms are summed, not what."""
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg()
+    net = MultiscaleNetwork(cfg)
+    opt = optim_mod.make_optimizer(cfg, epoch_len=10)
+    lr_fn = sched.from_spec(cfg.lr_schedule, cfg.lr_initial, 10)
+    batch = _batch(8, 16).astype(np.float32)
+
+    step = make_train_step(cfg, net, opt, lr_fn)
+    state0 = make_train_state(cfg, net, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 16, 16, 3)), opt)
+
+    s1 = jax.jit(step)(jax.device_put(state0), jnp.asarray(batch))
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    dp_step = mesh_mod.data_parallel_jit(step, mesh, donate_state=False)
+    s8 = dp_step(jax.device_put(state0, mesh_mod.replicated(mesh)),
+                 mesh_mod.shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(s1[1]["loss_bpsp"]),
+                               float(s8[1]["loss_bpsp"]),
+                               rtol=1e-5)
+    p1 = jax.device_get(s1[0]["params"])
+    p8 = jax.device_get(s8[0]["params"])
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_eval_matches_single():
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg()
+    net = MultiscaleNetwork(cfg)
+    params = jax.jit(lambda: net.init(jax.random.PRNGKey(1),
+                                      jnp.zeros((1, 16, 16, 3))))()
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    # 11 crops: one full sharded group of 8 + ragged tail of 3
+    crops = [_batch(1, 16, seed=i)[0] for i in range(11)]
+    got = fanout.eval_testset_sharded(cfg, net, params, mesh, crops)
+
+    fn1 = jax.jit(fanout._eval_fwd(cfg, net))
+    want = float(np.mean([float(fn1(params, jnp.asarray(c[None])))
+                          for c in crops]))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_codec_fanout_cross_device_bit_exact(tmp_path):
+    """Images encoded by per-device codec instances decode bit-exactly,
+    including decoding on a DIFFERENT device than encoded on."""
+    assert jax.device_count() >= 2
+    cfg = MsConfig(num_scales=2, Cf=8,
+                   enc=EncConfig(num_blocks=1), dec=DecConfig(num_blocks=1),
+                   q=QConfig(C=2, L=25), prob=ProbConfig(K=2))
+    net = MultiscaleNetwork(cfg)
+    params = jax.jit(lambda: net.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 16, 16, 3))))()
+    imgs = [_batch(1, 32, seed=i) for i in range(4)]
+    pouts = [str(tmp_path / f"i{i}.l3c") for i in range(4)]
+
+    fo = fanout.CodecFanout(cfg, net, params,
+                            devices=jax.devices()[:2], group=2)
+    bpsps = fo.encode_paths(imgs, pouts)
+    assert all(b > 0 for b in bpsps)
+    # decode with the device order REVERSED: group 0 (encoded on dev 0)
+    # now decodes on dev 1 and vice versa
+    fo_rev = fanout.CodecFanout(cfg, net, params,
+                                devices=jax.devices()[:2][::-1], group=2)
+    outs = fo_rev.decode_paths(pouts)
+    for im, out in zip(imgs, outs):
+        assert np.array_equal(im, out)
