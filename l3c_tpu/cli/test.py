@@ -22,6 +22,12 @@ def main(argv=None):
                    help="comma-separated display names for img_dirs")
     p.add_argument("--restore_itr", default="-1",
                    help="comma-separated iterations to evaluate")
+    p.add_argument("--match_filenames", "-fns", nargs="+",
+                   metavar="FILTER", default=None,
+                   help="keep only images whose (extension-less) "
+                        "filename is listed (reference test.py -fns)")
+    p.add_argument("--crop", type=int, default=None,
+                   help="center-crop all images to CROP x CROP")
     p.add_argument("--max_imgs_per_folder", type=int, default=None)
     p.add_argument("--write_to_files", metavar="OUT_DIR", default=None,
                    help="real encode+decode round-trip per image")
@@ -30,7 +36,11 @@ def main(argv=None):
                    help="'auto' or an int; extra recursions (RGB Shared)")
     p.add_argument("--time_report", default=None)
     p.add_argument("--compare_theory", action="store_true")
-    p.add_argument("--sort_output", action="store_true")
+    p.add_argument("--sort_output", "-s",
+                   choices=["testset", "exp", "itr", "res"],
+                   default="testset",
+                   help="sort the summary by testset name, experiment, "
+                        "iteration, or result (reference test.py -s)")
     p.add_argument("--reset_cache", action="store_true")
     p.add_argument("--config_roots", default=None,
                    help="colon-separated roots to resolve .cf names")
@@ -52,8 +62,13 @@ def main(argv=None):
     names = flags.names.split(",") if flags.names else None
     testsets = []
     for i, d in enumerate(flags.img_dirs.split(",")):
-        testsets.append(Testset(d, max_imgs=flags.max_imgs_per_folder,
-                                name=names[i] if names else None))
+        ts = Testset(d, max_imgs=flags.max_imgs_per_folder,
+                     name=names[i] if names else None,
+                     append_id=(f"_crop{flags.crop}" if flags.crop
+                                else None))
+        if flags.match_filenames:
+            ts.filter_filenames(flags.match_filenames)
+        testsets.append(ts)
 
     table = AlignedPrinter()
     table.append("log_dir", "itr", "testset", "bpsp")
@@ -66,7 +81,8 @@ def main(argv=None):
                 log_dir, config_roots, restore_itr=itr,
                 use_cache=not flags.reset_cache,
                 recursive=flags.recursive,
-                codec_backend=flags.codec_backend)
+                codec_backend=flags.codec_backend,
+                crop=flags.crop)
             for ts in testsets:
                 if flags.write_to_files:
                     res = tester.write_to_files(
@@ -80,8 +96,8 @@ def main(argv=None):
                              f"{res.mean_bpsp():.4f}"))
                 if flags.sample:
                     tester.sample(ts, flags.sample)
-    if flags.sort_output:
-        rows.sort(key=lambda r: r[3])
+    col = {"exp": 0, "itr": 1, "testset": 2, "res": 3}[flags.sort_output]
+    rows.sort(key=lambda r: r[col])
     for r in rows:
         table.append(*r)
     table.print()

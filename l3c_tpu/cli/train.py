@@ -74,6 +74,27 @@ def main(argv=None):
     val_batches = [next(val_it) for _ in range(dl.num_val_batches)]
     val_gen.close()
 
+    # Pin a fixed first validation image (center crop) for consistent
+    # TensorBoard summaries (reference multiscale_trainer.py:156-166).
+    fixed = dl.val_fixed_first
+    if fixed is None:
+        for cand_dir in {os.path.dirname(q) for q in val_paths[:1]}:
+            for ext in ("jpg", "png"):
+                cand = os.path.join(cand_dir, f"fixedimg.{ext}")
+                if os.path.isfile(cand):
+                    fixed = cand
+    if fixed and val_batches:
+        from ..data.images import load_image_uint8
+        im = load_image_uint8(fixed)
+        ch, cw = val_batches[0].shape[1:3]
+        t = max(0, (im.shape[0] - ch) // 2)
+        l = max(0, (im.shape[1] - cw) // 2)
+        crop = im[t: t + ch, l: l + cw]
+        if crop.shape[:2] == (ch, cw):
+            val_batches[0] = val_batches[0].copy()
+            val_batches[0][0] = crop
+            print(f"pinned fixed first val image: {fixed}")
+
     restore_dir = None
     if flags.restore:
         restore_dir = logdir_mod.find_log_dir(flags.log_dir_root,
@@ -87,12 +108,8 @@ def main(argv=None):
             restore_dir=restore_dir)
     print(f"log dir: {log_dir}")
 
-    sw = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        sw = SummaryWriter(log_dir)
-    except ImportError:
-        print("tensorboard unavailable; console logging only")
+    from ..utils.summarizer import SafeWriter
+    sw = SafeWriter(log_dir)  # no-ops if tensorboard is unavailable
 
     net = MultiscaleNetwork(cfg)
     mesh = None

@@ -96,8 +96,9 @@ class Bitcoding:
     def _get_P_impl(self, scale: int, params, bn_q, dec_F_prev):
         l, dec_F = self.net.apply(params, scale, bn_q, dec_F_prev,
                                   method=MultiscaleNetwork.get_P)
-        spec = self._rgb if scale == 0 else self._bn
-        C = 3 if scale == 0 else self.cfg.q.C
+        baseline = self.cfg.rgb_bicubic_baseline
+        spec = self._rgb if (scale == 0 or baseline) else self._bn
+        C = 3 if (scale == 0 or baseline) else self.cfg.q.C
         pi, mu, inv_s, lam = dmll.pack_coder_params(spec, l, C)
         # (1,H,W,C,K) -> (C, HW, K) for the native coder
         def to_chwk(a):
@@ -145,12 +146,15 @@ class Bitcoding:
             fout.write(struct.pack("<4H", *pad_tuple))
             fout.write(struct.pack("<HH", H, W))
 
-            # coarsest scale: uniform prior (bitcoding.py:171-186)
+            # coarsest scale: uniform prior (bitcoding.py:171-186).
+            # RGB baselines: the coarsest bottleneck is the bicubic
+            # RGB pyramid top (L=256 symbols, 3 channels).
+            baseline = self.cfg.rgb_bicubic_baseline
+            uni_L = self._rgb.L if baseline else self._bn.L
             syms_coarse = per_scale[S - 1][0]  # (1,h,w,C)
             with self.times.prefix_scope(f"[{S}]"):
                 with self.times.run("uniform encode"):
-                    ucoder = coder_mod.UniformCoder(self._bn.L,
-                                                    self.n_chunks)
+                    ucoder = coder_mod.UniformCoder(uni_L, self.n_chunks)
                     syms_cf = _to_chw(syms_coarse)
                     data, lens = ucoder.encode(syms_cf.reshape(-1))
                 _write_scale(fout, lens, data)
@@ -172,6 +176,14 @@ class Bitcoding:
                         mcoder = coder_mod.MixtureCoder(
                             self._rgb.L, self._rgb.x_min, self._rgb.x_max,
                             self.n_chunks)
+                    elif baseline:
+                        # RGB pyramid scale: 256-ary RGB symbols with
+                        # the lambda autoregression at every scale
+                        target_syms = _to_chw(per_scale[scale - 1][0])
+                        mcoder = coder_mod.MixtureCoder(
+                            self._rgb.L, self._rgb.x_min, self._rgb.x_max,
+                            self.n_chunks)
+                        bn_prev = per_scale[scale - 1][1]
                     else:
                         target_syms = _to_chw(per_scale[scale - 1][0])
                         mcoder = coder_mod.MixtureCoder(
@@ -231,17 +243,19 @@ class Bitcoding:
             pad_tuple = struct.unpack("<4H", fin.read(8))
             H, W = struct.unpack("<HH", fin.read(4))
 
-            C_bn = self.cfg.q.C
+            baseline = self.cfg.rgb_bicubic_baseline
+            C_bn = 3 if baseline else self.cfg.q.C
+            uni_L = self._rgb.L if baseline else self._bn.L
             h, w = H >> S, W >> S
 
             with self.times.prefix_scope(f"[{S}]"):
                 with self.times.run("uniform decode"):
-                    ucoder = coder_mod.UniformCoder(self._bn.L, n_chunks)
+                    ucoder = coder_mod.UniformCoder(uni_L, n_chunks)
                     lens, data = _read_scale(fin, n_chunks)
                     syms = ucoder.decode(data, lens, C_bn * h * w)
                     syms = syms.reshape(C_bn, h, w)
-            bn_prev = jnp.asarray(
-                self._bn_levels[syms.transpose(1, 2, 0)][None])
+            bn_prev = jnp.asarray(_bn_of_syms(
+                syms, self._bn_levels, baseline))
 
             dec_F_prev = None
             img = None
@@ -255,7 +269,7 @@ class Bitcoding:
                             for a in packed]
                     hs, ws = H >> scale, W >> scale
                     with self.times.run("entropy decode"):
-                        if scale == 0:
+                        if scale == 0 or baseline:
                             mcoder = coder_mod.MixtureCoder(
                                 self._rgb.L, self._rgb.x_min,
                                 self._rgb.x_max, n_chunks)
@@ -270,8 +284,8 @@ class Bitcoding:
                         img = syms.reshape(3, hs, ws).transpose(1, 2, 0)
                     else:
                         syms = syms.reshape(C_bn, hs, ws)
-                        bn_prev = jnp.asarray(
-                            self._bn_levels[syms.transpose(1, 2, 0)][None])
+                        bn_prev = jnp.asarray(_bn_of_syms(
+                            syms, self._bn_levels, baseline))
 
         img = img[None].astype(np.uint8)
         if any(pad_tuple):
@@ -280,6 +294,18 @@ class Bitcoding:
 
 
 # ------------------------------------------------------------------ helpers
+
+
+def _bn_of_syms(syms_chw: np.ndarray, bn_levels: np.ndarray,
+                baseline: bool) -> np.ndarray:
+    """Decoded (C,h,w) symbols -> (1,h,w,C) float conditioning input:
+    grid levels for L3C bottlenecks, mean-shifted RGB for the bicubic
+    pyramids (matching BicubicDownsamplingEnc's output domain)."""
+    nhwc = syms_chw.transpose(1, 2, 0)[None]
+    if baseline:
+        return nhwc.astype(np.float32) - 255.0 * np.asarray(
+            layers.RGB_MEAN, np.float32)
+    return bn_levels[nhwc]
 
 
 def _to_chw(a: np.ndarray) -> np.ndarray:

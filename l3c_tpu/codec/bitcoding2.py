@@ -202,10 +202,19 @@ class TpuBitcoding:
         assert img.shape[0] == 1 and img.shape[3] == 3, img.shape
         if auto_crop.needs_crop(img):
             comb = auto_crop.CropLossCombinator()
+            unit_sums: List[int] = []
             for i, crop in enumerate(auto_crop.iter_crops(img)):
                 bpsp = self.encode(crop,
                                    pout + part_suffix.make_part_suffix(i))
                 comb.add(bpsp, int(np.prod(crop.shape[1:3])))
+                part_units = self.last_unit_bytes[0]
+                if not unit_sums:
+                    unit_sums = list(part_units)
+                else:
+                    unit_sums = [a + b for a, b in
+                                 zip(unit_sums, part_units)]
+            # whole-image per-unit bytes = sum over the part files
+            self.last_unit_bytes = [unit_sums]
             return comb.get_bpsp()
         return self.encode_batch([img], [pout])[0]
 
@@ -331,7 +340,11 @@ class TpuBitcoding:
                 off += ns * ml
         with self.times.run("write"):
             bpsps = []
+            # per-file, per-unit payload bytes (streams + framing), for
+            # the --compare_theory per-scale breakdown
+            self.last_unit_bytes: List[List[int]] = []
             for b, pout in enumerate(pouts):
+                unit_bytes = []
                 with open(pout, "wb") as fout:
                     fout.write(MAGIC)
                     fout.write(struct.pack("<BBHB", self.VERSION, S,
@@ -344,16 +357,33 @@ class TpuBitcoding:
                         ns_c = words.shape[0] // (C * F)
                         w_b = words.reshape(C, F, ns_c, -1)[:, b]
                         l_b = lens.reshape(C, F, ns_c)[:, b]
+                        at = fout.tell()
                         _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
                                     l_b.reshape(-1))
                         fout.write(struct.pack("<I", MAGIC_SEP))
+                        unit_bytes.append(fout.tell() - at)
                 # bpsp over the ORIGINAL (pre-pad) subpixels, matching
                 # the reference (bitcoding.py:108) — padded pixels are a
                 # codec overhead, not image content.
                 pl_, pr_, pt_, pb_ = pad_tuples[b]
                 n_sp = (H - pt_ - pb_) * (W - pl_ - pr_) * 3
                 bpsps.append(os.path.getsize(pout) * 8 / float(n_sp))
+                self.last_unit_bytes.append(unit_bytes)
             return bpsps
+
+    def unit_scale_map(self) -> List[str]:
+        """Label per file unit with the scale it codes, aligned with
+        last_unit_bytes: ['uniform', 'scale_{S-1}', ..., 'scale_0',
+        'scale_0'] (RGB scales contribute two units: coarse+fine)."""
+        S = self.cfg.num_scales
+        baseline = self.cfg.rgb_bicubic_baseline
+        labels = ["uniform"]
+        for s in reversed(range(S)):
+            if s == 0 or baseline:
+                labels += [f"scale_{s}", f"scale_{s}"]
+            else:
+                labels += [f"scale_{s}"]
+        return labels
 
     # ------------------------------------------------------------ decode
 

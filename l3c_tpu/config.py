@@ -90,6 +90,12 @@ class DlConfig:
     val_glob: str = ""
     val_glob_min_size: Optional[int] = None
     num_val_batches: int = 5
+    # If set (or if <val dir>/fixedimg.{jpg,png} exists), this image is
+    # pinned as the FIRST validation example so TensorBoard heavy
+    # summaries show a consistent image across runs — the reference
+    # bundles src/train/fixedimg.jpg for this
+    # (multiscale_trainer.py:156-166).
+    val_fixed_first: Optional[str] = None
 
 
 # --------------------------------------------------------------------- parser

@@ -157,7 +157,8 @@ class Testset:
     """Sorted image list with deterministic subsampling and a stable id."""
 
     def __init__(self, root_or_glob: str, max_imgs: Optional[int] = None,
-                 name: Optional[str] = None):
+                 name: Optional[str] = None,
+                 append_id: Optional[str] = None):
         ps = iter_images_in(root_or_glob)
         if not ps:
             raise ValueError(f"no images found for {root_or_glob!r}")
@@ -167,6 +168,17 @@ class Testset:
         self.paths = ps
         base = name or os.path.basename(os.path.normpath(root_or_glob))
         self.id = f"{base}_{len(ps)}"
+        if append_id:
+            self.id += append_id
+
+    def filter_filenames(self, keep: "list[str]"):
+        """Keep only images whose extension-less basename is in `keep`
+        (test.py --match_filenames, reference testset.py:73-77)."""
+        name = lambda p: os.path.splitext(os.path.basename(p))[0]
+        kept = [p for p in self.paths if name(p) in keep]
+        if not kept:
+            raise ValueError(f"no files left after filtering for {keep}")
+        self.paths = kept
 
     def __len__(self):
         return len(self.paths)

@@ -82,7 +82,8 @@ class MultiscaleTester:
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  log_dir: Optional[str] = None, restore_itr: int = -1,
                  use_cache: bool = True, recursive: int = 0,
-                 codec_backend: str = "auto"):
+                 codec_backend: str = "auto",
+                 crop: Optional[int] = None):
         from ..utils.jaxtools import ensure_compile_cache
         ensure_compile_cache()
         self.cfg = cfg
@@ -97,6 +98,9 @@ class MultiscaleTester:
                                and cfg.num_scales == 1) else 0)
         self.recursive = int(recursive)
         self.codec_backend = codec_backend
+        # --crop: center-crop every test image to crop x crop before
+        # eval/coding (reference test.py --crop / CenterCrop transform)
+        self.crop = crop
         self.cache = (TestOutputCache(log_dir)
                       if (log_dir and use_cache) else None)
         # skip=0: include every image in timing reports (callers can
@@ -113,9 +117,22 @@ class MultiscaleTester:
                                      else None))
             return blueprint.total_bpsp(loss)
 
+        def fwd_scales(params, x, num_sp):
+            out = net.apply(params, x, train=False,
+                            auto_recurse=self.recursive)
+            loss = blueprint.compute_loss(
+                cfg, out, num_subpixels_before_pad=num_sp,
+                auto_recursive_from=(cfg.num_scales if self.recursive
+                                     else None))
+            return jnp.stack([jnp.asarray(b)
+                              for b in loss.nonrecursive_bpsps])
+
         # num_subpixels_before_pad changes the loss constants -> make it
         # static so each (shape, num_sp) pair compiles once.
         self._fwd = jax.jit(fwd, static_argnums=(2,))
+        # per-scale theory bpsps [scale_0..scale_{S-1}, uniform_tail]
+        # for the --compare_theory breakdown (bitcoding.py:112-121)
+        self._fwd_scales = jax.jit(fwd_scales, static_argnums=(2,))
 
     @classmethod
     def from_log_dir(cls, log_dir: str, config_roots: List[str],
@@ -157,8 +174,17 @@ class MultiscaleTester:
         """[(testset_id, mean_bpsp)] — the aligned-table rows."""
         return [(ts.id, self.test(ts).mean_bpsp()) for ts in testsets]
 
-    def _bpsp_of_image(self, path: str) -> float:
+    def _load(self, path: str) -> np.ndarray:
         img = load_image_uint8(path)[None]  # (1,H,W,3)
+        if self.crop:
+            _, H, W, _ = img.shape
+            t = max(0, (H - self.crop) // 2)
+            l = max(0, (W - self.crop) // 2)
+            img = img[:, t: t + self.crop, l: l + self.crop]
+        return img
+
+    def _bpsp_of_image(self, path: str) -> float:
+        img = self._load(path)
         comb = auto_crop.CropLossCombinator()
         fac = self.cfg.padding_fac * (2 ** self.recursive)
         for crop in auto_crop.iter_crops(img):
@@ -185,7 +211,7 @@ class MultiscaleTester:
                             times=self.times, backend=self.codec_backend)
         result = TestResult()
         for p in testset:
-            img = load_image_uint8(p)[None]
+            img = self._load(p)
             pout = os.path.join(
                 out_dir, os.path.splitext(os.path.basename(p))[0] + ".l3c")
             if os.path.exists(pout):
@@ -199,16 +225,50 @@ class MultiscaleTester:
             if not np.array_equal(out, img):
                 raise EncodeError(f"round-trip mismatch for {p}")
             if compare_theory:
-                theory = self._bpsp_of_image(p)
-                print(f"{os.path.basename(p)}: actual {bpsp:.4f} vs "
-                      f"theory {theory:.4f} "
-                      f"[{(bpsp / theory - 1) * 100:+.2f}%]")
+                self._print_theory_comparison(p, img, bc, bpsp)
             result[os.path.basename(p)] = bpsp
             self.times.next_iteration()
         if time_report:
             with open(time_report, "w") as f:
                 f.write(self.times.report())
         return result
+
+    def _print_theory_comparison(self, path: str, img: np.ndarray, bc,
+                                 actual_bpsp: float):
+        """--compare_theory: per-scale theory vs per-unit assumed vs
+        actual-on-disk, mirroring the reference's format
+        (bitcoding.py:105-121)."""
+        num_sp = int(np.prod(img.shape))
+        # per-scale theory: combine over auto-crop tiles by subpixels
+        fac = self.cfg.padding_fac * (2 ** self.recursive)
+        theory = None
+        for crop in auto_crop.iter_crops(img):
+            c_sp = int(np.prod(crop.shape))
+            padded, _ = pad_mod.pad(crop, fac, mode="constant")
+            t = np.asarray(self._fwd_scales(
+                self.params, jnp.asarray(padded, jnp.float32), c_sp))
+            t = t * (c_sp / num_sp)
+            theory = t if theory is None else theory + t
+        # assumed: per-unit on-disk bytes mapped onto scales
+        unit_bytes = getattr(bc, "last_unit_bytes", None)
+        tostr = (lambda v: " | ".join(f"{x:.3f}" for x in v)
+                 + f" => {sum(v):.3f}")
+        print(f"{os.path.basename(path)} bitrates:")
+        print(f"theory:  {tostr(list(theory))}  "
+              "(scale_0..scale_N, uniform tail)")
+        if unit_bytes:
+            labels = bc.unit_scale_map()
+            per_scale = {}
+            for lab, nb in zip(labels, unit_bytes[0]):
+                per_scale[lab] = per_scale.get(lab, 0) + nb
+            S = self.cfg.num_scales
+            order = [f"scale_{s}" for s in range(S)] + ["uniform"]
+            assumed = [per_scale.get(k, 0) * 8 / num_sp for k in order]
+            overhead = (sum(assumed) / float(sum(theory)) - 1) * 100
+            print(f"assumed: {tostr(assumed)} [{overhead:+.2f}%]")
+        print(f"actual:                       => {actual_bpsp:.3f}  "
+              f"[{(actual_bpsp / float(sum(theory)) - 1) * 100:+.2f}% "
+              "incl. header]")
 
     # --------------------------------------------------------- sampling
 
@@ -220,7 +280,7 @@ class MultiscaleTester:
         os.makedirs(out_dir, exist_ok=True)
         fac = self.cfg.padding_fac
         for p in testset:
-            img = load_image_uint8(p)[None]
+            img = self._load(p)
             padded, _ = pad_mod.pad(img, fac, mode="constant")
             x = jnp.asarray(padded, jnp.float32)
             for scales in sample_scale_sets:
@@ -238,7 +298,7 @@ class MultiscaleTester:
     def encode_file(self, img_path: str, out_path: str) -> float:
         bc = make_bitcoding(self.cfg, self.net, self.params,
                             times=self.times, backend=self.codec_backend)
-        img = load_image_uint8(img_path)[None]
+        img = self._load(img_path)
         if os.path.exists(out_path):
             raise EncodeError(f"{out_path} exists")
         return bc.encode(img, out_path)

@@ -46,6 +46,9 @@ class EncOut(NamedTuple):
     bn_q: jax.Array   # hard bottleneck
     syms: jax.Array   # int32 symbols
     F: Optional[jax.Array]  # pre-quantization feature (feed_F input)
+    # raw 1x1-conv bottleneck activations BEFORE quantization — the
+    # signal the reference's HistogramPlot taps (net.py:114-119)
+    raw: Optional[jax.Array] = None
 
 
 class Out(NamedTuple):
@@ -86,10 +89,9 @@ class EDSRLikeEnc(nn.Module):
             r = b(r)
         r = self.body_out(r)
         F = x + r
-        q = quantizer.quantize(
-            self.to_q(F.astype(jnp.float32)), self.levels,
-            self.cfg.q.sigma)
-        return EncOut(bn=q.bn, bn_q=q.bn_q, syms=q.syms, F=F)
+        raw = self.to_q(F.astype(jnp.float32))
+        q = quantizer.quantize(raw, self.levels, self.cfg.q.sigma)
+        return EncOut(bn=q.bn, bn_q=q.bn_q, syms=q.syms, F=F, raw=raw)
 
 
 class BicubicDownsamplingEnc(nn.Module):

@@ -31,6 +31,37 @@ from . import optim as optim_mod
 from . import schedule as schedule_mod
 from .saver import Saver
 
+# In-graph encoder-activation histogram spec: fixed bucket edges over
+# the pre-quantizer 1x1-conv output (levels live in [-1, 1]; +-4
+# catches outliers). The reference taps the same signal with a host-side
+# RollingBufferHistogram (net.py:114-119, vis/histogram_plot.py); here
+# the bucket COUNTS are computed on-device inside one jit and only the
+# tiny count vector crosses to the host.
+HIST_LO, HIST_HI, HIST_BINS, HIST_BUFFER = -4.0, 4.0, 80, 10
+
+
+def make_enc_hist(cfg: MsConfig, net: MultiscaleNetwork):
+    from ..models import layers
+    from ..models.network import MultiscaleNetwork as MN
+
+    def enc_hist(params, batch):
+        x = layers.sub_rgb_mean(batch.astype(jnp.float32))
+        eos = net.apply(params, x, method=MN.enc_forward)
+        out = {}
+        for i, eo in enumerate(eos):
+            if eo.raw is None:
+                continue
+            v = eo.raw.reshape(-1)
+            idx = jnp.clip(
+                ((v - HIST_LO) / (HIST_HI - HIST_LO)
+                 * HIST_BINS).astype(jnp.int32), 0, HIST_BINS - 1)
+            # scale numbering starts at 1 (0 is RGB), like the reference
+            out[f"histo/enc_{i + 1}_after_1x1"] = jnp.bincount(
+                idx, length=HIST_BINS)
+        return out
+
+    return enc_hist
+
 
 def make_train_state(cfg: MsConfig, net: MultiscaleNetwork, rng,
                      example_batch: jnp.ndarray,
@@ -130,6 +161,8 @@ class Trainer:
         else:
             self._step = jax.jit(step_fn, donate_argnums=(0,))
         self._eval = jax.jit(make_eval_step(cfg, net))
+        self._enc_hist = jax.jit(make_enc_hist(cfg, net))
+        self._hist_buffers = {}  # tag -> list of recent count vectors
         self.saver = Saver(out_dir) if out_dir else None
         self.start_itr = 0
 
@@ -181,14 +214,34 @@ class Trainer:
 
     def _write_heavy_summaries(self, batch, step: int):
         """Bottleneck images + symbol histograms (the reference's
-        log_train_heavy summaries, multiscale_blueprint.py:100-118)."""
+        log_train_heavy summaries, multiscale_blueprint.py:100-118) +
+        rolling in-graph encoder-activation histograms (net.py:114-119).
+
+        Uses the first VAL image when available so the images stay
+        comparable across steps (the reference pins fixedimg.jpg,
+        multiscale_trainer.py:156-166); falls back to the train batch."""
         from ..utils.summarizer import Summarizer, add_scale_summaries
+        img = (self.val_batches[0][:1] if self.val_batches else batch[:1])
         out = self.net.apply(self.state["params"],
-                             jnp.asarray(batch[:1], jnp.float32),
+                             jnp.asarray(img, jnp.float32),
                              train=False)
         s = Summarizer(self.summary_writer)
         s.enable("train_heavy", step)
         add_scale_summaries(s, out, self.cfg.q.L)
+        # activation histograms over the CURRENT train batch, buffered
+        # over the last HIST_BUFFER heavy steps like the reference's
+        # RollingBufferHistogram(buffer_size=10)
+        counts = jax.device_get(self._enc_hist(
+            self.state["params"], jnp.asarray(batch, jnp.float32)))
+        edges = np.linspace(HIST_LO, HIST_HI, HIST_BINS + 1)
+        for tag, c in counts.items():
+            buf = self._hist_buffers.setdefault(tag, [])
+            buf.append(np.asarray(c))
+            del buf[:-HIST_BUFFER]
+            if self.summary_writer is not None and hasattr(
+                    self.summary_writer, "add_histogram_counts"):
+                self.summary_writer.add_histogram_counts(
+                    f"train/{tag}", np.sum(buf, axis=0), edges, step)
 
     def _write_summaries(self, prefix: str, metrics: Dict, step: int):
         if self.summary_writer is None:

@@ -137,6 +137,25 @@ class SafeWriter:
         if self._w is not None:
             self._w.add_histogram(tag, np.asarray(values), step)
 
+    def add_histogram_counts(self, tag, counts, edges, step):
+        """Histogram from PRE-BUCKETED counts (computed in-graph on the
+        accelerator) — the TPU-native replacement for the reference's
+        RollingBufferHistogram of raw activations."""
+        if self._w is None:
+            return
+        counts = np.asarray(counts, np.float64)
+        edges = np.asarray(edges, np.float64)
+        mids = 0.5 * (edges[:-1] + edges[1:])
+        n = float(counts.sum())
+        if n == 0:
+            return
+        self._w.add_histogram_raw(
+            tag, min=float(edges[0]), max=float(edges[-1]),
+            num=int(n), sum=float((counts * mids).sum()),
+            sum_squares=float((counts * mids ** 2).sum()),
+            bucket_limits=edges[1:].tolist(),
+            bucket_counts=counts.tolist(), global_step=step)
+
     def close(self):
         if self._w is not None:
             self._w.close()

@@ -138,3 +138,25 @@ def test_part_suffix_helpers(tmp_path):
     assert not part_suffix.contains_part_suffix(base)
     assert part_suffix.iter_part_paths(base + ".part0") == [
         base + ".part0", base + ".part1", base + ".part2"]
+
+
+def test_v1_rgb_baseline_roundtrip(tmp_path):
+    """The host (v1) backend must cover the RGB-baseline family too
+    (reference bitcoding.py codes every model family): bicubic RGB
+    pyramid bottleneck under the uniform prior + 256-ary lambda-
+    conditioned mixture scales, bit-exact round-trip."""
+    cfg = MsConfig(
+        num_scales=2, Cf=8, rgb_bicubic_baseline=True,
+        enc=EncConfig(cls="BicubicSubsampling", num_blocks=1, feed_F=False),
+        dec=DecConfig(num_blocks=1, skip=False),
+        q=QConfig(C=3, L=5), prob=ProbConfig(K=2))
+    net = MultiscaleNetwork(cfg)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)))
+    bc = Bitcoding(cfg, net, params)
+    img = _rand_img(24, 16, seed=3)
+    p = str(tmp_path / "rgbb.l3c")
+    bpsp = bc.encode(img, p)
+    assert 0 < bpsp < 32
+    out = bc.decode(p)
+    assert np.array_equal(out, img)

@@ -76,3 +76,36 @@ def test_sampling_modes(tester_setup, img_dir, tmp_path):
     for p in pngs:
         with Image.open(os.path.join(out, p)) as im:
             assert im.size == (24, 20)  # (W,H), already /4
+
+
+def test_testset_filter_and_crop(tester_setup, img_dir, capsys):
+    """--match_filenames keeps only listed names; --crop center-crops
+    every image before eval (reference test.py:44-104)."""
+    cfg, net, params, log_dir = tester_setup
+    ts = Testset(img_dir, append_id="_crop16")
+    assert ts.id.endswith("_crop16")
+    ts.filter_filenames(["im0", "im2"])
+    assert [os.path.basename(p) for p in ts] == ["im0.png", "im2.png"]
+    with pytest.raises(ValueError):
+        ts.filter_filenames(["nope"])
+
+    t = MultiscaleTester(cfg, net, params, use_cache=False, crop=16)
+    img = t._load(ts.paths[0])
+    assert img.shape == (1, 16, 16, 3)
+    bpsp = t._bpsp_of_image(ts.paths[0])
+    assert np.isfinite(bpsp) and bpsp > 0
+
+
+def test_compare_theory_per_scale_breakdown(tester_setup, img_dir,
+                                            tmp_path, capsys):
+    """--compare_theory prints per-scale theory and per-unit assumed
+    rows (reference bitcoding.py:105-121 format)."""
+    cfg, net, params, log_dir = tester_setup
+    ts = Testset(img_dir, max_imgs=1)
+    t = MultiscaleTester(cfg, net, params, use_cache=False)
+    t.write_to_files(ts, str(tmp_path / "wtf"), compare_theory=True)
+    out = capsys.readouterr().out
+    assert "theory:" in out and "assumed:" in out and "actual:" in out
+    # one bitrate column per scale + the uniform tail
+    theory_line = [ln for ln in out.splitlines() if "theory:" in ln][0]
+    assert theory_line.count("|") == cfg.num_scales

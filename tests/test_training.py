@@ -162,3 +162,24 @@ def test_heavy_summaries_emit_images(tmp_path):
              log_fn=lambda *_: None)
     assert any(k.startswith("train_heavy/bn/") for k in w.images)
     assert any(k.startswith("train/costs/") for k in w.scalars)
+
+
+def test_heavy_summaries_emit_activation_histograms(tmp_path):
+    """In-graph encoder-activation histograms (reference net.py:114-119
+    HistogramPlot equivalent): counts land in the writer with the
+    scale-numbered tag, and counts sum to the activation count."""
+    from tests.test_utils import FakeWriter
+    cfg = _tiny_cfg()
+    dl = DlConfig(batchsize_train=2, batchsize_val=2, crop_size=16)
+    net = MultiscaleNetwork(cfg)
+    gen = _synthetic_batches(2, 16)
+    w = FakeWriter()
+    tr = Trainer(cfg, dl, net, gen, epoch_len=10, summary_writer=w)
+    tr.train(num_itr=2, log_every=0, val_every=0, heavy_every=2,
+             log_fn=lambda *_: None)
+    tags = [k for k in w.histos if "after_1x1" in k]
+    assert tags, w.histos.keys()
+    counts, edges = w.histos[tags[0]]
+    # scale 1 bottleneck of a 16x16 crop: (2, 8, 8, C=2) activations
+    assert counts.sum() == 2 * 8 * 8 * 2
+    assert len(edges) == len(counts) + 1

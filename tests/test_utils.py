@@ -90,6 +90,9 @@ class FakeWriter:
     def add_histogram(self, tag, v, step):
         self.histos[tag] = np.asarray(v)
 
+    def add_histogram_counts(self, tag, counts, edges, step):
+        self.histos[tag] = (np.asarray(counts), np.asarray(edges))
+
 
 def test_summarizer_gating():
     w = FakeWriter()
