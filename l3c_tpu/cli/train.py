@@ -10,6 +10,7 @@ config, `use` inheritance, -p overrides; SURVEY.md config-system row).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
