@@ -1,4 +1,4 @@
-"""On-device codec (format v4): the entropy coder runs on the accelerator.
+"""On-device codec (format v5): the entropy coder runs on the accelerator.
 
 Successor to codec.bitcoding (format v1, host C++ rANS): all CDF tables
 AND the rANS coding itself run on-device (ops.tpu_coder), so the only
@@ -6,7 +6,7 @@ host<->device traffic is the padded image up and the compressed words
 down (and vice versa on decode). On the axon-tunneled TPU this cuts per-
 image transfer from ~170MB of mixture parameters to ~1-6MB of streams.
 
-Determinism contract (v4): every FLOAT-producing stage — get_P network
+Determinism contract (v4/v5): every FLOAT-producing stage — get_P network
 application and per-channel table construction — is one jitted function
 shared by encode and decode AND always applied at a FIXED PHYSICAL BATCH
 `fbatch` recorded in the file header. Programs compiled at different
@@ -34,11 +34,15 @@ Scale coding structure (per image, one file "unit" per line):
                      the decoded coarse bin — 17+17 CDF edges per pixel
                      instead of 256 (ops.tpu_coder.rgb_*_tables)
 
-File format v4:
-  magic 'L3TP' | version=4 u8 | num_scales u8 | T_stream u16
-  | fbatch u8 | padL,padR,padT,padB u16*4 | padded H u16 | W u16
-  per unit: n_streams u32 | lengths u16*n_streams (words) | words u16[]
-  magic separator u32 after every unit.
+File format v5:
+  magic 'L3TP' | version=5 u8 | num_scales u8 | fbatch u8
+  | padL,padR,padT,padB u16*4 | padded H u16 | W u16
+  per unit: T u16 | n_streams u32
+            | length block (mode u8: 0 = base u16 + u8 deltas,
+                            1 = raw u16 lengths)
+            | words u16[] | magic separator u32.
+  T is chosen per unit by ops.tpu_coder.t_policy (profile-dependent) at
+  encode time; decode always honors the recorded value.
 """
 from __future__ import annotations
 
@@ -117,9 +121,9 @@ def _assemble_unit(ws, cols_b: int, C: int, F: int) -> np.ndarray:
 
 
 class TpuBitcoding:
-    """Encode/decode images with the fully on-device coder (format v4)."""
+    """Encode/decode images with the fully on-device coder (format v5)."""
 
-    VERSION = 4
+    VERSION = 5
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  times=None, device=None):
@@ -165,23 +169,24 @@ class TpuBitcoding:
                 self._rgb, l, c, 3, dec, a))
             for c in range(3)}
 
-        # ---- integer coder jits (side-specific; exact by construction)
+        # ---- integer coder jits (side-specific; exact by construction).
+        # T is per-unit (t_policy on encode, the unit header on decode).
         self._encode_unit = jax.jit(
-            lambda tables, syms, L, n, G: tc.encode_channels(
-                tables, syms, L, tc.layout_for(n, G)),
-            static_argnums=(2, 3, 4))
+            lambda tables, syms, L, n, G, T: tc.encode_channels(
+                tables, syms, L, tc.layout_for(n, G, T)),
+            static_argnums=(2, 3, 4, 5))
         self._decode_unit = jax.jit(
-            lambda tables, words, L, n, G: tc.decode_channels(
-                tables, words, L, tc.layout_for(n, G)),
-            static_argnums=(2, 3, 4))
+            lambda tables, words, L, n, G, T: tc.decode_channels(
+                tables, words, L, tc.layout_for(n, G, T)),
+            static_argnums=(2, 3, 4, 5))
         self._enc_uni = jax.jit(
-            lambda syms, L, n, G: tc.encode_uniform(
-                syms, L, tc.layout_for(n, G)),
-            static_argnums=(1, 2, 3))
+            lambda syms, L, n, G, T: tc.encode_uniform(
+                syms, L, tc.layout_for(n, G, T)),
+            static_argnums=(1, 2, 3, 4))
         self._dec_uni = jax.jit(
-            lambda words, L, n, G: tc.decode_uniform(
-                words, L, tc.layout_for(n, G)),
-            static_argnums=(1, 2, 3))
+            lambda words, L, n, G, T: tc.decode_uniform(
+                words, L, tc.layout_for(n, G, T)),
+            static_argnums=(1, 2, 3, 4))
 
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
         if self._device is not None:
@@ -261,10 +266,13 @@ class TpuBitcoding:
         n_u = syms_c.shape[1] * syms_c.shape[2]
         uni_L = self._rgb.L if baseline else self._bn.L
         uni_C = 3 if baseline else C_bn
+        units_T = []     # per-unit stream length (written to the file)
         with self.times.run("uniform encode"):
+            T_u = tc.t_policy(n_u)
             units.append(self._enc_uni(_group_syms(syms_c), uni_L,
-                                       n_u, uni_C * F))
+                                       n_u, uni_C * F, T_u))
             units_C.append(uni_C)
+            units_T.append(T_u)
             _sync(units[-1][0])
 
         dec_F_prev = None
@@ -288,12 +296,15 @@ class TpuBitcoding:
                         a = target >> tc.FINE_BITS
                         bsym = target & ((1 << tc.FINE_BITS) - 1)
                         tf = target.astype(jnp.float32)
+                        T_u = tc.t_policy(n)
                         ct = jnp.concatenate(
                             [self._coarse_rgb[c](ls, tf)
                              for c in range(3)], 0)
                         units.append(self._encode_unit(
-                            ct, _group_syms(a), tc.N_COARSE, n, 3 * F))
+                            ct, _group_syms(a), tc.N_COARSE, n, 3 * F,
+                            T_u))
                         units_C.append(3)
+                        units_T.append(T_u)
                         ft = jnp.concatenate(
                             [self._fine_rgb[c](
                                 ls, tf,
@@ -301,21 +312,26 @@ class TpuBitcoding:
                              for c in range(3)], 0)
                         units.append(self._encode_unit(
                             ft, _group_syms(bsym), 1 << tc.FINE_BITS,
-                            n, 3 * F))
+                            n, 3 * F, T_u))
                         units_C.append(3)
+                        units_T.append(T_u)
                     else:
+                        T_u = tc.t_policy(n)
                         tables = self._tables_bn(ls)
                         units.append(self._encode_unit(
                             tables, _group_syms(target), self._bn.L, n,
-                            C_bn * F))
+                            C_bn * F, T_u))
                         units_C.append(C_bn)
+                        units_T.append(T_u)
                 _sync(units[-1][0])
 
-        return dict(units=units, units_C=units_C, pouts=pouts, B=B, F=F,
-                    S=S, H=H, W=W, pad_tuples=pad_tuples)
+        return dict(units=units, units_C=units_C, units_T=units_T,
+                    pouts=pouts, B=B, F=F, S=S, H=H, W=W,
+                    pad_tuples=pad_tuples)
 
     def encode_batch_finish(self, handle) -> List[float]:
         units, units_C = handle["units"], handle["units_C"]
+        units_T = handle["units_T"]
         pouts, B, F = handle["pouts"], handle["B"], handle["F"]
         S, H, W = handle["S"], handle["H"], handle["W"]
         pad_tuples = handle["pad_tuples"]
@@ -347,8 +363,7 @@ class TpuBitcoding:
                 unit_bytes = []
                 with open(pout, "wb") as fout:
                     fout.write(MAGIC)
-                    fout.write(struct.pack("<BBHB", self.VERSION, S,
-                                           tc.T_STREAM, F))
+                    fout.write(struct.pack("<BBB", self.VERSION, S, F))
                     fout.write(struct.pack("<4H", *pad_tuples[b]))
                     fout.write(struct.pack("<HH", H, W))
                     for ui, (words, lens) in enumerate(
@@ -359,7 +374,7 @@ class TpuBitcoding:
                         l_b = lens.reshape(C, F, ns_c)[:, b]
                         at = fout.tell()
                         _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
-                                    l_b.reshape(-1))
+                                    l_b.reshape(-1), units_T[ui])
                         fout.write(struct.pack("<I", MAGIC_SEP))
                         unit_bytes.append(fout.tell() - at)
                 # bpsp over the ORIGINAL (pre-pad) subpixels, matching
@@ -432,13 +447,19 @@ class TpuBitcoding:
         # units in ONE flat transfer (syncs cost 50-100ms through the
         # tunnel), then slice + pad to the static (lanes, T+2) scan
         # shape on device per unit (cheap dispatches)
-        full = tc.T_STREAM + 2
         unit_Cs = [3 if baseline0 else C_bn]
         for s in reversed(range(S_cfg)):
             unit_Cs += [3, 3] if (s == 0 or baseline0) else [C_bn]
         host_units = []
         for ui in range(n_units):
-            ws = [per_file_units[b][ui] for b in range(B)]
+            Ts = {per_file_units[b][ui][0] for b in range(B)}
+            if len(Ts) != 1:
+                raise DecodeError(
+                    f"unit {ui}: files use different stream lengths "
+                    f"{sorted(Ts)}; decode them separately")
+            T_u = Ts.pop()
+            full = T_u + 2
+            ws = [per_file_units[b][ui][1] for b in range(B)]
             cols = max(2, max(w.shape[1] for w in ws))
             # Bucket the word-array width to a power of two (>=32) instead
             # of padding every unit to T+2: the decode scan's word select
@@ -449,36 +470,37 @@ class TpuBitcoding:
             while cols_b < cols:
                 cols_b *= 2
             cols_b = min(cols_b, full)
-            host_units.append((ws, cols_b, unit_Cs[ui]))
+            host_units.append((ws, cols_b, unit_Cs[ui], T_u))
         flat_np = np.concatenate(
             [np.zeros(0, np.uint16)] + [
                 _assemble_unit(ws, cols_b, C, F).reshape(-1)
-                for ws, cols_b, C in host_units])
+                for ws, cols_b, C, _ in host_units])
         flat_dev = self._put(flat_np)
         unit_offsets = np.cumsum(
             [0] + [ws[0].shape[0] * F * cols_b
-                   for ws, cols_b, _ in host_units])
+                   for ws, cols_b, _, _ in host_units])
 
-        def unit_words(ui: int, C: int) -> jnp.ndarray:
-            ws, cols_b, C_u = host_units[ui]
+        def unit_words(ui: int, C: int) -> Tuple[jnp.ndarray, int]:
+            ws, cols_b, C_u, T_u = host_units[ui]
             assert C == C_u, (ui, C, C_u)
             rows = ws[0].shape[0] * F
-            return flat_dev[int(unit_offsets[ui]):
-                            int(unit_offsets[ui + 1])].reshape(rows,
-                                                               cols_b)
+            dev = flat_dev[int(unit_offsets[ui]):
+                           int(unit_offsets[ui + 1])].reshape(rows,
+                                                              cols_b)
+            return dev, T_u
 
         baseline = self.cfg.rgb_bicubic_baseline
         mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
         h, w = H >> S, W >> S
         with self.times.run("uniform decode"):
             if baseline:
-                syms = self._dec_uni(unit_words(0, 3), self._rgb.L,
-                                     h * w, 3 * F)
+                w0, T0 = unit_words(0, 3)
+                syms = self._dec_uni(w0, self._rgb.L, h * w, 3 * F, T0)
                 syms = _ungroup_syms(syms, F, h, w)
                 bn_prev = syms.astype(jnp.float32) - mean
             else:
-                syms = self._dec_uni(unit_words(0, C_bn), self._bn.L,
-                                     h * w, C_bn * F)
+                w0, T0 = unit_words(0, C_bn)
+                syms = self._dec_uni(w0, self._bn.L, h * w, C_bn * F, T0)
                 syms = _ungroup_syms(syms, F, h, w)
                 bn_prev = self._bn_levels[syms]
             _sync(bn_prev)
@@ -495,22 +517,22 @@ class TpuBitcoding:
                 hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
-                        w_coarse = unit_words(ui, 3)
-                        w_fine = unit_words(ui + 1, 3)
+                        w_coarse, T_c = unit_words(ui, 3)
+                        w_fine, T_f = unit_words(ui + 1, 3)
                         ui += 2
                         rgb = self._decode_rgb(ls, w_coarse, w_fine, F,
-                                               hs, ws_)
+                                               hs, ws_, T_c, T_f)
                         if scale == 0:
                             imgs = rgb
                         else:
                             bn_prev = rgb.astype(jnp.float32) - mean
                     else:
-                        words = unit_words(ui, C_bn)
+                        words, T_u = unit_words(ui, C_bn)
                         ui += 1
                         n = hs * ws_
                         tables = self._tables_bn(ls)
                         syms = self._decode_unit(
-                            tables, words, self._bn.L, n, C_bn * F)
+                            tables, words, self._bn.L, n, C_bn * F, T_u)
                         bn_prev = self._bn_levels[
                             _ungroup_syms(syms, F, hs, ws_)]
                     _sync(imgs if scale == 0 else bn_prev)
@@ -530,7 +552,7 @@ class TpuBitcoding:
             out.append(im)
         return out
 
-    def _decode_rgb(self, ls, w_coarse, w_fine, F, hs, ws):
+    def _decode_rgb(self, ls, w_coarse, w_fine, F, hs, ws, T_c, T_f):
         """Channel-sequential two-level RGB decode with lambda
         conditioning: per channel, decode the coarse symbol a against
         16-entry tables, build the conditional fine tables from a,
@@ -538,16 +560,19 @@ class TpuBitcoding:
         batched at the physical fbatch (v4 determinism contract); the
         rANS scans stay fused across the batch."""
         n = hs * ws
-        ns_c = tc.layout_for(n, F).ns_c
+        nsc_c = tc.layout_for(n, F, T_c).ns_c
+        nsc_f = tc.layout_for(n, F, T_f).ns_c
         decoded = jnp.zeros((F, hs, ws, 3), jnp.float32)
         ch_syms = []
         for c in range(3):
-            rows = slice(c * F * ns_c, (c + 1) * F * ns_c)
+            rows_c = slice(c * F * nsc_c, (c + 1) * F * nsc_c)
+            rows_f = slice(c * F * nsc_f, (c + 1) * F * nsc_f)
             ct = self._coarse_rgb[c](ls, decoded)        # (F*n, 16)
-            a = self._decode_unit(ct, w_coarse[rows], tc.N_COARSE, n, F)
+            a = self._decode_unit(ct, w_coarse[rows_c], tc.N_COARSE,
+                                  n, F, T_c)
             ft = self._fine_rgb[c](ls, decoded, a.reshape(F * n))
-            b_ = self._decode_unit(ft, w_fine[rows],
-                                   1 << tc.FINE_BITS, n, F)
+            b_ = self._decode_unit(ft, w_fine[rows_f],
+                                   1 << tc.FINE_BITS, n, F, T_f)
             s_c = ((a.reshape(F, hs, ws) << tc.FINE_BITS)
                    | b_.reshape(F, hs, ws))
             ch_syms.append(s_c)
@@ -558,21 +583,44 @@ class TpuBitcoding:
 # ------------------------------------------------------------------ io
 
 
-def _write_unit(fout, words: np.ndarray, lengths: np.ndarray):
-    """words (NS, >=max(len)) u16 padded; lengths (NS,) words used."""
+def _write_unit(fout, words: np.ndarray, lengths: np.ndarray, T: int):
+    """words (NS, >=max(len)) u16 padded; lengths (NS,) words used.
+
+    v5 unit header: T u16 | n_streams u32 | length block | payload.
+    Length block: mode u8 — 0: base u16 + per-stream u8 deltas (the
+    common case; halves the per-stream length overhead vs raw u16),
+    1: raw u16 lengths (delta spread > 255)."""
     ns, cols = words.shape
-    fout.write(struct.pack("<I", ns))
-    fout.write(lengths.astype("<u2").tobytes())
+    fout.write(struct.pack("<HI", T, ns))
+    lengths = lengths.astype(np.int64)
+    base = int(lengths.min()) if ns else 0
+    spread = int(lengths.max() - base) if ns else 0
+    if spread <= 255:
+        fout.write(struct.pack("<BH", 0, base))
+        fout.write((lengths - base).astype(np.uint8).tobytes())
+    else:
+        fout.write(struct.pack("<B", 1))
+        fout.write(lengths.astype("<u2").tobytes())
     mask = np.arange(cols)[None, :] < lengths[:, None]
     fout.write(words[mask].astype("<u2").tobytes())  # stream-major
 
 
 def _read_unit(fin):
-    """-> (words (NS, max_len) u16 padded, lengths) for the decoder."""
-    ns, = struct.unpack("<I", fin.read(4))
+    """-> (T, words (NS, max_len) u16 padded) for the decoder."""
+    T, ns = struct.unpack("<HI", fin.read(6))
     if ns == 0 or ns > 1 << 24:
         raise DecodeError(f"bad stream count {ns}")
-    lengths = np.frombuffer(fin.read(2 * ns), "<u2").astype(np.int64)
+    if T < 8 or T % 8:
+        raise DecodeError(f"bad stream length {T}")
+    mode, = struct.unpack("<B", fin.read(1))
+    if mode == 0:
+        base, = struct.unpack("<H", fin.read(2))
+        deltas = np.frombuffer(fin.read(ns), np.uint8)
+        lengths = base + deltas.astype(np.int64)
+    elif mode == 1:
+        lengths = np.frombuffer(fin.read(2 * ns), "<u2").astype(np.int64)
+    else:
+        raise DecodeError(f"bad length-block mode {mode}")
     total = int(lengths.sum())
     payload = np.frombuffer(fin.read(2 * total), "<u2")
     if payload.size != total:
@@ -581,22 +629,19 @@ def _read_unit(fin):
     words = np.zeros((ns, cols), np.uint16)
     mask = np.arange(cols)[None, :] < lengths[:, None]
     words[mask] = payload
-    return words
+    return T, words
 
 
 def _read_file(pin: str, expect_scales: int, n_units: int):
     with open(pin, "rb") as fin:
         if fin.read(4) != MAGIC:
             raise DecodeError("bad magic")
-        version, S, t_stream, F = struct.unpack("<BBHB", fin.read(5))
+        version, S, F = struct.unpack("<BBB", fin.read(3))
         if version != TpuBitcoding.VERSION:
             raise DecodeError(f"file is format v{version}; this is "
                               f"the v{TpuBitcoding.VERSION} (TPU) decoder")
         if S != expect_scales:
             raise DecodeError("scale count mismatch")
-        if t_stream != tc.T_STREAM:
-            raise DecodeError(
-                f"stream length {t_stream} != built-in {tc.T_STREAM}")
         if F not in FBATCHES:
             raise DecodeError(f"bad fbatch {F}")
         pad_tuple = struct.unpack("<4H", fin.read(8))

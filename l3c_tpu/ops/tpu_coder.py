@@ -43,13 +43,36 @@ import numpy as np
 
 from ..models import dmll as dmll_mod
 
-# Stream geometry. T_STREAM (symbols per rANS stream) trades sequential
-# scan depth against per-stream framing overhead (6 bytes each) and is
-# recorded in the file header (decode rejects a mismatch). UNROLL
-# (symbols coded per scan step) only affects execution, not the format.
-# Env overrides exist for benchmarking sweeps.
+# Stream geometry. T (symbols per rANS stream) trades sequential scan
+# depth against per-stream framing overhead (~6 bytes each). Since
+# format v5 the stream length is chosen PER UNIT by `t_policy` and
+# recorded in each unit's header, so any build decodes any file; the
+# policy knobs only steer what the encoder writes. UNROLL (symbols per
+# scan step) only affects execution, not the format.
+#   L3C_T_STREAM      force one fixed T for every unit (bench sweeps)
+#   L3C_CODER_PROFILE speed|balanced|size — stream-count targets
 T_STREAM = int(__import__("os").environ.get("L3C_T_STREAM", "1024"))
 UNROLL = int(__import__("os").environ.get("L3C_UNROLL", "8"))
+CODER_PROFILE = __import__("os").environ.get("L3C_CODER_PROFILE",
+                                             "balanced")
+_T_FORCED = "L3C_T_STREAM" in __import__("os").environ
+# profile -> (max streams per channel, max T)
+_PROFILES = {"speed": (1 << 30, 1024), "balanced": (64, 2048),
+             "size": (16, 8192)}
+
+
+def t_policy(n: int) -> int:
+    """Stream length for a unit of n symbols/channel: the smallest
+    power-of-two T in [1024, max_T] that keeps ceil(n/T) streams per
+    channel under the profile's target. Recorded per unit in the v5
+    format, so files decode regardless of the decoder's profile."""
+    if _T_FORCED:
+        return T_STREAM
+    nsc_max, t_max = _PROFILES[CODER_PROFILE]
+    t = 1024
+    while t < t_max and -(-n // t) > nsc_max:
+        t *= 2
+    return t
 RANS_L = 1 << 16        # state lower bound
 PROB_BITS = 16
 
