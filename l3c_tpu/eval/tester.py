@@ -206,6 +206,12 @@ class MultiscaleTester:
         compare_theory also evaluates the cross-entropy bpsp per image
         and prints the actual-vs-theory overhead (bitcoding.py:112-121).
         """
+        if self.recursive:
+            # matches the reference: coding the recursively-applied
+            # shared model is not supported by either implementation
+            # (bitcoding.py:73, multiscale_tester.py:187-188)
+            raise NotImplementedError(
+                "--write_to_files not implemented for --recursive")
         os.makedirs(out_dir, exist_ok=True)
         bc = make_bitcoding(self.cfg, self.net, self.params,
                             times=self.times, backend=self.codec_backend)

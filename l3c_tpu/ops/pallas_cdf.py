@@ -88,5 +88,72 @@ def build_cdf_table_pallas(pi: jnp.ndarray, mu: jnp.ndarray,
     return q.astype(jnp.uint16).reshape(*lead, L)
 
 
+def _fine_kernel(pi_ref, mu_ref, inv_ref, a_ref, out_ref, *, K: int,
+                 bw: float, t0: float, fine: int, M: float):
+    """Conditional fine-level CDF rows: per pixel, evaluate the mixture
+    CDF at the fine+1 edges of the pixel's coarse bin `a` and normalize
+    to the bin's mass (tpu_coder.rgb_fine_tables spec). All fine+1
+    columns live in registers/VMEM; nothing but the (TILE_P, fine)
+    quantized rows is written."""
+    base = a_ref[:, 0][:, None] * np.float32(fine)        # (TILE_P, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, fine + 1), 1)\
+        .astype(jnp.float32)
+    t = (base + k) * np.float32(bw) + np.float32(t0)      # (TILE_P, F+1)
+    acc = jnp.zeros(t.shape, jnp.float32)
+    for kk in range(K):                                   # static unroll
+        z = (t - mu_ref[:, kk][:, None]) * inv_ref[:, kk][:, None]
+        acc = acc + pi_ref[:, kk][:, None] * jax.nn.sigmoid(z)
+    lo = acc[:, :1]
+    denom = jnp.maximum(acc[:, -1:] - lo, 1e-9)
+    cond = (acc[:, :fine] - lo) / denom
+    q = jnp.floor(jnp.clip(cond, 0.0, 1.0) * M + 0.5)
+    out_ref[:] = q.astype(jnp.int32)
+
+
+def fine_cdf_quantized(pi: jnp.ndarray, mu: jnp.ndarray,
+                       inv_s: jnp.ndarray, a: jnp.ndarray,
+                       bw: float, t0: float, fine: int,
+                       interpret: bool = None) -> jnp.ndarray:
+    """(P, K) params + (P,) coarse symbols -> (P, fine) int32 quantized
+    conditional CDF (pre-monotonicity)."""
+    P, K = pi.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    grid = (pl.cdiv(P, TILE_P),)
+    kernel = functools.partial(_fine_kernel, K=K, bw=float(bw),
+                               t0=float(t0), fine=fine,
+                               M=float(65536 - fine))
+    a2 = a.reshape(P, 1).astype(jnp.float32)
+    spec_pk = pl.BlockSpec((TILE_P, K), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_pk, spec_pk, spec_pk,
+                  pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TILE_P, fine), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, fine), jnp.int32),
+        interpret=interpret,
+    )(pi.astype(jnp.float32), mu.astype(jnp.float32),
+      inv_s.astype(jnp.float32), a2)
+
+
+def coarse_cdf_quantized(pi, mu, inv_s, edges: np.ndarray, L: int
+                         ) -> jnp.ndarray:
+    """Coarse-level rows = the generic kernel at the 16 coarse edges."""
+    return mixture_cdf_quantized(pi, mu, inv_s, edges, L)
+
+
+# Tri-state switch: "1" force on, "0" force off, unset = auto (on when
+# the runtime targets a real TPU backend). The active choice is recorded
+# in every v5 file header (flags bit 0) so encode and decode always
+# evaluate tables through the same implementation — the same role as the
+# v1 header's evaluator-variant byte.
 def pallas_cdf_enabled() -> bool:
-    return os.environ.get("L3C_PALLAS_CDF", "0") == "1"
+    v = os.environ.get("L3C_PALLAS_CDF")
+    if v is not None:
+        return v == "1"
+    import jax as _jax
+    return _jax.default_backend() in ("tpu",)

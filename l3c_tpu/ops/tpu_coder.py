@@ -73,6 +73,8 @@ def t_policy(n: int) -> int:
     while t < t_max and -(-n // t) > nsc_max:
         t *= 2
     return t
+
+
 RANS_L = 1 << 16        # state lower bound
 PROB_BITS = 16
 
@@ -134,7 +136,8 @@ def _mask_for(lay: StreamLayout) -> np.ndarray:
 
 
 def build_cdf_table(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
-                    x_min: float, bin_w: float, L: int) -> jnp.ndarray:
+                    x_min: float, bin_w: float, L: int,
+                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Quantized CDF rows from mixture params.
 
     pi, mu, inv_s: (..., K) float32 (pi softmaxed, inv_s=exp(-log_s)).
@@ -144,7 +147,9 @@ def build_cdf_table(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
     pick the same path, preserving the shared-table contract).
     """
     from . import pallas_cdf
-    if pallas_cdf.pallas_cdf_enabled():
+    if use_pallas is None:
+        use_pallas = pallas_cdf.pallas_cdf_enabled()
+    if use_pallas:
         return pallas_cdf.build_cdf_table_pallas(pi, mu, inv_s, x_min,
                                                  bin_w, L)
     lvals = np.arange(L, dtype=np.float32)
@@ -398,33 +403,60 @@ def _channel_params(spec, l, c, C, decoded):
             inv_s[..., c, :].reshape(n, K))
 
 
-def rgb_coarse_tables(spec, l, c, C, decoded) -> jnp.ndarray:
-    """(n, 16) uint16 coarse tables for channel c."""
+def rgb_coarse_tables(spec, l, c, C, decoded,
+                      use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """(n, 16) uint16 coarse tables for channel c.
+
+    use_pallas selects the fused Pallas evaluation of the 16 coarse
+    edges (None = pallas_cdf.pallas_cdf_enabled()). The choice is part
+    of the v5 determinism contract: files record it in the header flags
+    and decode replays the same implementation."""
+    from . import pallas_cdf
+    if use_pallas is None:
+        use_pallas = pallas_cdf.pallas_cdf_enabled()
     pi, mu, inv_s = _channel_params(spec, l, c, C, decoded)
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
-    edges = jnp.asarray(
-        (np.arange(N_COARSE) << FINE_BITS).astype(np.float32) * bw + t0)
+    edges_np = ((np.arange(N_COARSE) << FINE_BITS).astype(np.float32)
+                * bw + t0)
+    if use_pallas:
+        q = pallas_cdf.coarse_cdf_quantized(pi, mu, inv_s, edges_np,
+                                            N_COARSE)
+        q = jax.lax.cummax(q, axis=1) + jnp.arange(N_COARSE, dtype=jnp.int32)
+        return q.astype(jnp.uint16)
     cvals = _mixture_cdf_at(pi, mu, inv_s, jnp.broadcast_to(
-        edges, (pi.shape[0], N_COARSE)))
+        jnp.asarray(edges_np), (pi.shape[0], N_COARSE)))
     return _quantize_rows(cvals, N_COARSE)
 
 
-def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray) -> jnp.ndarray:
-    """(n, 16) uint16 fine tables conditional on coarse symbols a (n,)."""
+def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray,
+                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """(n, 16) uint16 fine tables conditional on coarse symbols a (n,).
+
+    use_pallas: fused Pallas kernel for the 17-edge conditional rows
+    (same contract note as rgb_coarse_tables)."""
+    from . import pallas_cdf
+    if use_pallas is None:
+        use_pallas = pallas_cdf.pallas_cdf_enabled()
     pi, mu, inv_s = _channel_params(spec, l, c, C, decoded)
     n = pi.shape[0]
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
-    k = jnp.arange((1 << FINE_BITS) + 1, dtype=jnp.float32)   # 0..16
+    FINE = 1 << FINE_BITS
+    if use_pallas:
+        q = pallas_cdf.fine_cdf_quantized(pi, mu, inv_s, a.reshape(n),
+                                          bw, t0, FINE)
+        q = jax.lax.cummax(q, axis=1) + jnp.arange(FINE, dtype=jnp.int32)
+        return q.astype(jnp.uint16)
+    k = jnp.arange(FINE + 1, dtype=jnp.float32)               # 0..16
     base = (a.reshape(n).astype(jnp.float32)
             * np.float32(1 << FINE_BITS))
     t = (base[:, None] + k) * bw + t0                         # (n, 17)
     cvals = _mixture_cdf_at(pi, mu, inv_s, t)                 # (n, 17)
     lo = cvals[:, :1]
     denom = jnp.maximum(cvals[:, -1:] - lo, 1e-9)
-    cond = (cvals[:, : 1 << FINE_BITS] - lo) / denom
-    return _quantize_rows(cond, 1 << FINE_BITS)
+    cond = (cvals[:, :FINE] - lo) / denom
+    return _quantize_rows(cond, FINE)
 
 
 # ----------------------------------------------- mixture-scale helpers
@@ -432,7 +464,8 @@ def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray) -> jnp.ndarray:
 
 def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
                                c: int, C: int,
-                               decoded: Optional[jnp.ndarray]
+                               decoded: Optional[jnp.ndarray],
+                               use_pallas: Optional[bool] = None
                                ) -> jnp.ndarray:
     """CDF table for channel c of a scale, conditioned on decoded chans.
 
@@ -457,15 +490,18 @@ def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
         mu_c = jnp.take_along_axis(mu_c, idx, axis=-1)
         inv_c = jnp.take_along_axis(inv_c, idx, axis=-1)
     table = build_cdf_table(pi_c, mu_c, inv_c,
-                            spec.x_min, spec.bin_width, spec.L)
+                            spec.x_min, spec.bin_width, spec.L,
+                            use_pallas=use_pallas)
     return table.reshape(-1, spec.L)
 
 
 def mixture_tables_all_channels(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
                                 C: int,
-                                decoded: Optional[jnp.ndarray]
+                                decoded: Optional[jnp.ndarray],
+                                use_pallas: Optional[bool] = None
                                 ) -> jnp.ndarray:
     """Tables for ALL channels stacked channel-major: (C*H*W, L) u16."""
-    tabs = [mixture_tables_for_channel(spec, l, c, C, decoded)
+    tabs = [mixture_tables_for_channel(spec, l, c, C, decoded,
+                                       use_pallas=use_pallas)
             for c in range(C)]
     return jnp.concatenate(tabs, axis=0)

@@ -20,6 +20,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_init_distributed():
+    """Multi-host initialization (jax.distributed) from environment.
+
+    Set L3C_COORDINATOR=host:port, L3C_NUM_PROCS, L3C_PROC_ID on every
+    host BEFORE the first jax use; `jax.devices()` then spans all hosts
+    and the same mesh/pjit code runs multi-host (XLA collectives ride
+    ICI within a slice / DCN across). No-op when unset, so single-host
+    workflows are unaffected."""
+    import os
+    addr = os.environ.get("L3C_COORDINATOR")
+    if not addr:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["L3C_NUM_PROCS"]),
+        process_id=int(os.environ["L3C_PROC_ID"]))
+    return True
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), (DATA_AXIS,))

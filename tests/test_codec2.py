@@ -162,3 +162,19 @@ def test_v3_autocrop_part_files(setup, tmp_path, monkeypatch):
     assert len(parts) == 4 and bpsp > 0
     out = bc.decode(parts[0])
     np.testing.assert_array_equal(out, img)
+
+
+def test_wide_fbatch_16(setup, tmp_path):
+    """Logical batch 9 -> physical fbatch 16 (wide-scan serving mode):
+    round-trips bit-exactly and interchanges with batch-1 decode."""
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    imgs = [_rand_img(16, 16, seed=100 + i) for i in range(9)]
+    pouts = [str(tmp_path / f"w{i}.l3c") for i in range(9)]
+    bc.encode_batch(imgs, pouts)
+    outs = bc.decode_batch(pouts)
+    for im, o in zip(imgs, outs):
+        np.testing.assert_array_equal(o, im)
+    # a single file from the wide batch decodes alone too
+    out0 = bc.decode(pouts[3])
+    np.testing.assert_array_equal(out0, imgs[3])

@@ -1,0 +1,104 @@
+"""Interleaved A/B codec benchmark (real chip).
+
+The shared TPU pool's load swings run times ~2x on minute timescales, so
+absolute numbers from separate processes aren't comparable. This tool
+times CONFIG VARIANTS round-robin inside one process — every variant
+sees the same load profile — and reports best + median per variant.
+
+Usage: python tools/ab_bench.py [rounds] [batch]
+Variants are edited in CONFIGS below (coder profile x pallas tables).
+"""
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import jax
+    import jax.numpy as jnp
+    from l3c_tpu.codec.bitcoding2 import TpuBitcoding
+    from l3c_tpu.config import MsConfig
+    from l3c_tpu.models.network import MultiscaleNetwork
+    from l3c_tpu.ops import tpu_coder as tc
+    from l3c_tpu.utils.jaxtools import ensure_compile_cache
+
+    ensure_compile_cache()
+    cfg = MsConfig(compute_dtype="bfloat16")
+    net = MultiscaleNetwork(cfg)
+    rng = np.random.RandomState(0)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 512, 512, 3), jnp.float32))
+    yy, xx = np.mgrid[0:512, 0:512]
+    base = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1)
+    imgs = [np.clip(base + rng.randint(-8, 8, base.shape), 0,
+                    255).astype(np.uint8)[None] for _ in range(B)]
+
+    # (name, coder profile, pallas tables)
+    CONFIGS = [
+        ("speed+xla", "speed", False),
+        ("speed+pallas", "speed", True),
+        ("balanced+pallas", "balanced", True),
+        ("size+pallas", "size", True),
+    ]
+
+    codecs = []
+    for name, profile, use_pallas in CONFIGS:
+        bc = TpuBitcoding(cfg, net, params)
+        bc.use_pallas = use_pallas
+        codecs.append((name, profile, bc))
+
+    def set_profile(profile):
+        tc.CODER_PROFILE = profile
+        tc._T_FORCED = False
+
+    results = {name: {"enc": [], "dec": []} for name, _, _ in CONFIGS}
+    with tempfile.TemporaryDirectory() as d:
+        # warmup / compile every variant
+        for name, profile, bc in codecs:
+            set_profile(profile)
+            ps = [os.path.join(d, f"w_{name}_{b}.l3c") for b in range(B)]
+            bc.encode_batch(imgs, ps)
+            outs = bc.decode_batch(ps)
+            for im, o in zip(imgs, outs):
+                assert np.array_equal(o, im), f"round-trip failed: {name}"
+            print(f"warm {name}: ok", file=sys.stderr)
+
+        for r in range(rounds):
+            for name, profile, bc in codecs:
+                set_profile(profile)
+                ps = [os.path.join(d, f"r{r}_{name}_{b}.l3c")
+                      for b in range(B)]
+                t0 = time.perf_counter()
+                bc.encode_batch(imgs, ps)
+                t1 = time.perf_counter()
+                outs = bc.decode_batch(ps)
+                t2 = time.perf_counter()
+                for im, o in zip(imgs, outs):
+                    assert np.array_equal(o, im)
+                results[name]["enc"].append(t1 - t0)
+                results[name]["dec"].append(t2 - t1)
+                print(f"r{r} {name}: enc {1e3*(t1-t0):.0f}ms "
+                      f"dec {1e3*(t2-t1):.0f}ms", file=sys.stderr)
+
+    mp = B * 512 * 512 / 1e6
+    print(f"{'variant':18s} {'enc_best':>9s} {'dec_best':>9s} "
+          f"{'enc_med':>9s} {'dec_med':>9s} {'MP/s_best':>9s}")
+    for name, _, _ in CONFIGS:
+        e, dd = sorted(results[name]["enc"]), sorted(results[name]["dec"])
+        best = mp / (e[0] + dd[0])
+        print(f"{name:18s} {e[0]*1e3:8.0f}m {dd[0]*1e3:8.0f}m "
+              f"{e[len(e)//2]*1e3:8.0f}m {dd[len(dd)//2]*1e3:8.0f}m "
+              f"{best:9.2f}")
+
+
+if __name__ == "__main__":
+    main()
