@@ -54,7 +54,9 @@ def main():
     img = np.clip(base + rng.randint(-8, 8, base.shape), 0,
                   255).astype(np.uint8)[None]
 
-    B = 8  # serving batch: images coded together in the fused scans
+    # serving batch: images coded together in the fused scans (wider
+    # batches widen every rANS scan; L3C_BENCH_B probes serving shapes)
+    B = int(os.environ.get("L3C_BENCH_B", "8"))
     imgs = [np.clip(base + rng.randint(-8, 8, base.shape), 0,
                     255).astype(np.uint8)[None] for _ in range(B)]
 
@@ -143,7 +145,8 @@ def main():
     mps = B * mp / (t_enc + t_dec)
     baseline_mps = (512 * 512 / 1e6) / 0.202  # reference entropy-coder enc
     result = {
-        "metric": "encode+decode throughput, 512x512 RGB, batch 8, full pipeline",
+        "metric": ("encode+decode throughput, 512x512 RGB, "
+                   f"batch {B}, full pipeline"),
         "value": round(mps, 4),
         "unit": "MP/s",
         "vs_baseline": round(mps / baseline_mps, 4),

@@ -68,7 +68,7 @@ def main(argv=None):
     print(f"{len(train_paths)} train / {len(val_paths)} val images")
 
     batches = TrainBatches(train_paths, dl.batchsize_train, dl.crop_size,
-                           seed=flags.seed)
+                           seed=flags.seed, aug_strong=dl.aug_strong)
     val_gen = TrainBatches(val_paths, dl.batchsize_val, dl.crop_size,
                            seed=flags.seed + 1)
     val_it = iter(val_gen)

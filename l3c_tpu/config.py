@@ -96,6 +96,10 @@ class DlConfig:
     # bundles src/train/fixedimg.jpg for this
     # (multiscale_trainer.py:156-166).
     val_fixed_first: Optional[str] = None
+    # Strong photo-preserving augmentation (channel permutation, gamma
+    # jitter, vertical flips) for small offline corpora — see
+    # data.images._strong_aug. Off for Open-Images-scale data.
+    aug_strong: bool = False
 
 
 # --------------------------------------------------------------------- parser

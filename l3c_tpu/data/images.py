@@ -92,7 +92,8 @@ def load_image_uint8(p: str) -> np.ndarray:
 
 
 def random_crop_flip(img: np.ndarray, crop: int,
-                     rng: np.random.RandomState) -> np.ndarray:
+                     rng: np.random.RandomState,
+                     strong: bool = False) -> np.ndarray:
     h, w = img.shape[:2]
     if h < crop or w < crop:  # upscale-pad tiny images by reflection
         img = np.pad(img, ((0, max(0, crop - h)), (0, max(0, crop - w)),
@@ -103,7 +104,29 @@ def random_crop_flip(img: np.ndarray, crop: int,
     out = img[y:y + crop, x:x + crop]
     if rng.rand() < 0.5:
         out = out[:, ::-1]
+    if strong:
+        out = _strong_aug(out, rng)
     return out
+
+
+def _strong_aug(out: np.ndarray, rng: np.random.RandomState
+                ) -> np.ndarray:
+    """Photo-statistics-preserving augmentation for SMALL corpora
+    (dl.aug_strong; the reference trains on 300k distinct photos and
+    needs none of this). Channel permutation keeps cross-channel
+    correlation structure while decorrelating absolute hue; gamma
+    jitter emulates exposure variation; both leave the sensor-noise /
+    texture statistics a lossless coder must learn intact."""
+    if rng.rand() < 0.5:
+        out = out[:, :, rng.permutation(3)]
+    if rng.rand() < 0.5:
+        g = np.float32(rng.uniform(0.7, 1.4))
+        lut = (np.power(np.arange(256, dtype=np.float32) / 255.0, g)
+               * 255.0 + 0.5).astype(np.uint8)
+        out = lut[out]
+    if rng.rand() < 0.3:  # vertical flip: textures/scenes both survive
+        out = out[::-1]
+    return np.ascontiguousarray(out)
 
 
 class TrainBatches:
@@ -115,12 +138,14 @@ class TrainBatches:
     """
 
     def __init__(self, paths: Sequence[str], batch_size: int,
-                 crop_size: int, seed: int = 0, prefetch: int = 2):
+                 crop_size: int, seed: int = 0, prefetch: int = 2,
+                 aug_strong: bool = False):
         assert paths, "no training images found"
         self.paths = list(paths)
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.seed = seed
+        self.aug_strong = aug_strong
         self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -136,7 +161,8 @@ class TrainBatches:
             idx = rng.randint(0, len(self.paths), size=self.batch_size)
             batch = np.stack([
                 random_crop_flip(load_image_uint8(self.paths[i]),
-                                 self.crop_size, rng)
+                                 self.crop_size, rng,
+                                 strong=self.aug_strong)
                 for i in idx])
             while not self._stop.is_set():
                 try:
