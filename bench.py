@@ -37,8 +37,26 @@ def main():
     cfg = MsConfig(compute_dtype="bfloat16")
     net = MultiscaleNetwork(cfg)
     rng = np.random.RandomState(0)
-    params = jax.jit(net.init)(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 512, 512, 3), jnp.float32))
+    # Trained released model (models_zoo) by default: production serving
+    # codes with a converged model, whose smaller streams are what the
+    # pipeline actually moves. L3C_BENCH_CKPT=none forces random init.
+    ckpt_dir = os.environ.get(
+        "L3C_BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "models_zoo", "0816_2141 cr oi_offline"))
+    params = None
+    if ckpt_dir != "none" and os.path.isdir(ckpt_dir):
+        from l3c_tpu.train.saver import Restorer
+        params_t = jax.eval_shape(
+            lambda: net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 16, 16, 3), jnp.float32)))
+        itr, params = Restorer(ckpt_dir).restore_params_only(params_t)
+        print(f"# params: {ckpt_dir!r} @ itr {itr}", file=sys.stderr)
+    if params is None:
+        params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 512, 512, 3),
+                                             jnp.float32))
+        print("# params: random init", file=sys.stderr)
     # L3C_TIMES=1: per-stage breakdown on stderr (pair with
     # L3C_SYNC_TIMES=1 so spans measure device work, not async dispatch)
     times = None

@@ -153,6 +153,14 @@ class TpuBitcoding:
         # always dispatched at a physical batch from FBATCHES — the v4
         # determinism contract).
         self._enc_forward = jax.jit(self._enc_forward_impl)
+        # uint8 image -> (coarse syms, fine syms, float target) for the
+        # scale-0 two-level units, all on device (the image is uploaded
+        # ONCE as uint8; float32/int32 views never cross the host link)
+        self._split_rgb = jax.jit(lambda u8: (
+            u8.astype(jnp.int32) >> tc.FINE_BITS,
+            u8.astype(jnp.int32) & ((1 << tc.FINE_BITS) - 1),
+            u8.astype(jnp.float32)))
+        self._to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
         self._get_P = {
             s: jax.jit(lambda p, bn, decF, s=s: self.net.apply(
                 p, s, bn, decF, method=MultiscaleNetwork.get_P))
@@ -217,7 +225,10 @@ class TpuBitcoding:
             return jax.device_put(arr, self._device)
         return jnp.asarray(arr)
 
-    def _enc_forward_impl(self, params, x):
+    def _enc_forward_impl(self, params, x_u8):
+        # the image crosses the host link as uint8 (4x less traffic than
+        # float32 through the tunnel); all casting happens on device
+        x = x_u8.astype(jnp.float32)
         enc_outs = self.net.apply(params, layers.sub_rgb_mean(x),
                                   method=MultiscaleNetwork.enc_forward)
         return [(eo.syms, eo.bn_q) for eo in enc_outs]
@@ -275,7 +286,8 @@ class TpuBitcoding:
         padded = np.stack(padded_list
                           + [padded_list[0]] * (F - B))
         _, H, W, _ = padded.shape
-        x = self._put(padded.astype(np.float32))
+        # ONE uint8 upload; float/int views are derived on device
+        x = self._put(padded)
         S = self.cfg.num_scales
         C_bn = self.cfg.q.C
 
@@ -308,7 +320,7 @@ class TpuBitcoding:
                         self.params, bn_prev, dec_F_prev)
                     _sync(ls)
                 if scale == 0:
-                    target = self._put(padded.astype(np.int32))
+                    target = x  # the uint8 upload; split on device
                 else:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
@@ -318,9 +330,7 @@ class TpuBitcoding:
                     if scale == 0 or baseline:
                         # RGB targets, two-level: coarse then fine, both
                         # lambda-conditioned on the true channel values
-                        a = target >> tc.FINE_BITS
-                        bsym = target & ((1 << tc.FINE_BITS) - 1)
-                        tf = target.astype(jnp.float32)
+                        a, bsym, tf = self._split_rgb(target)
                         T_u = tc.t_policy(n)
                         ct = jnp.concatenate(
                             [bld["coarse"][c](ls, tf)
@@ -555,7 +565,9 @@ class TpuBitcoding:
                         rgb = self._decode_rgb(ls, w_coarse, w_fine, F,
                                                hs, ws_, T_c, T_f, bld)
                         if scale == 0:
-                            imgs = rgb
+                            # uint8 on device: the decoded image crosses
+                            # the host link at 1 byte/subpixel, not 4
+                            imgs = self._to_u8(rgb)
                         else:
                             bn_prev = rgb.astype(jnp.float32) - mean
                     else:
@@ -574,7 +586,7 @@ class TpuBitcoding:
     def decode_batch_finish(self, handle) -> List[np.ndarray]:
         B = handle["B"]
         with self.times.run("fetch images"):
-            imgs = np.asarray(handle["imgs"][:B]).astype(np.uint8)
+            imgs = np.asarray(handle["imgs"][:B])  # uint8 on device
         out = []
         for b in range(B):
             im = imgs[b:b + 1]
