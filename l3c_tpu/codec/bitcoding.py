@@ -66,7 +66,8 @@ class Bitcoding:
         ensure_compile_cache()
         self.cfg = cfg
         self.net = net
-        self.params = params
+        # commit to device: numpy pytrees re-upload per jit call
+        self.params = jax.device_put(params)
         self.times = times if times is not None else NoOpTimer()
         self.n_chunks = n_chunks
         self.compare_with_theory = compare_with_theory

@@ -140,8 +140,10 @@ class TpuBitcoding:
         self.cfg = cfg
         self.net = net
         self._device = device
-        self.params = (jax.device_put(params, device)
-                       if device is not None else params)
+        # ALWAYS commit params to device: checkpoint restores hand back
+        # numpy pytrees, and jit re-uploads numpy args on EVERY call —
+        # ~20MB/dispatch through the host tunnel dwarfs the compute.
+        self.params = jax.device_put(params, device)
         self.times = times if times is not None else NoOpTimer()
 
         self._rgb = blueprint.rgb_spec(cfg)

@@ -88,7 +88,8 @@ class MultiscaleTester:
         ensure_compile_cache()
         self.cfg = cfg
         self.net = net
-        self.params = params
+        # commit to device: numpy pytrees re-upload per jit call
+        self.params = jax.device_put(params)
         self.restore_itr = restore_itr
         if recursive == "auto":
             # Decided from the PARSED CONFIG like the reference

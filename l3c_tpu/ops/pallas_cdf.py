@@ -152,8 +152,15 @@ def coarse_cdf_quantized(pi, mu, inv_s, edges: np.ndarray, L: int
 # evaluate tables through the same implementation — the same role as the
 # v1 header's evaluator-variant byte.
 def pallas_cdf_enabled() -> bool:
+    """Opt-in (L3C_PALLAS_CDF=1). Default OFF everywhere: the A/B device
+    microbench (tools/microbench.py, real v5e chip, batch-8 512^2) puts
+    the fused Pallas table builders at 2.5-4.5x SLOWER than XLA's own
+    fusion of the same ops (coarse x3 113ms vs 44ms, fine x3 137ms vs
+    49ms, bn 74ms vs 16ms) — XLA already fuses the (K x L) sigmoid
+    mixture evaluation into one HBM pass, and the hand blocking loses
+    to it. The v5 header records the builder per file, so files made
+    with either setting decode bit-exactly with either default."""
     v = os.environ.get("L3C_PALLAS_CDF")
     if v is not None:
         return v == "1"
-    import jax as _jax
-    return _jax.default_backend() in ("tpu",)
+    return False

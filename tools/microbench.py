@@ -1,0 +1,150 @@
+"""Per-stage device-cost map of the v5 codec at the bench shape.
+
+Each jitted stage is dispatched N times back-to-back and synced ONCE at
+the end, so the ~50-100ms axon sync latency amortizes away and the
+numbers approximate true device execution time. Run on the real chip:
+
+    python tools/microbench.py [N]
+
+Stages (batch F=8, 512x512 RGB, flagship cr.cf, trained demo model):
+  enc_forward        full encoder pyramid
+  get_P[s]           per-scale probability networks
+  coarse/fine tables scale-0 two-level table builds (3 channels)
+  bn tables          scale>0 mixture tables
+  enc/dec scans      the rANS scans per unit family
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    import jax
+    import jax.numpy as jnp
+    from l3c_tpu.codec.bitcoding2 import TpuBitcoding, _group_syms
+    from l3c_tpu.config import MsConfig
+    from l3c_tpu.models.network import MultiscaleNetwork
+    from l3c_tpu.ops import tpu_coder as tc
+    from l3c_tpu.train.saver import Restorer
+    from l3c_tpu.utils.jaxtools import ensure_compile_cache
+
+    ensure_compile_cache()
+    cfg = MsConfig(compute_dtype="bfloat16")
+    net = MultiscaleNetwork(cfg)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zoo = os.path.join(root, "models_zoo", "0816_2141 cr oi_offline")
+    params_t = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 16, 16, 3), jnp.float32)))
+    _, params = Restorer(zoo).restore_params_only(params_t)
+    bc = TpuBitcoding(cfg, net, params)
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:512, 0:512]
+    base = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1)
+    F = 8
+    padded = np.stack([
+        np.clip(base + rng.randint(-8, 8, base.shape), 0,
+                255).astype(np.uint8) for _ in range(F)])
+    x = jnp.asarray(padded)
+
+    def sync(v):
+        np.asarray(jax.device_get(jnp.ravel(v)[:1]))
+
+    def timeit(name, fn, out_of=None):
+        fn()  # warm/compile
+        sync(fn() if out_of is None else out_of(fn()))
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(N):
+            r = fn()
+        sync(r if out_of is None else out_of(r))
+        dt = (time.perf_counter() - t0) / N * 1000
+        print(f"{name:34s} {dt:8.1f} ms")
+        return dt
+
+    S = cfg.num_scales
+    total = 0.0
+    total += timeit("enc_forward (pyramid)",
+                    lambda: bc._enc_forward(bc.params, x),
+                    out_of=lambda r: r[0][0])
+
+    per_scale = bc._enc_forward(bc.params, x)
+    bld = bc._builders(bc.use_pallas)
+
+    # per-scale get_P, coldest first like the codec runs them
+    dec_F_prev = None
+    bn_prev = per_scale[S - 1][1]
+    ls_by_scale = {}
+    for scale in reversed(range(S)):
+        def gp(scale=scale, bn=bn_prev, dF=dec_F_prev):
+            return bc._get_P[scale](bc.params, bn, dF)
+        total += timeit(f"get_P[{scale}]", gp, out_of=lambda r: r[0])
+        ls, dec_F_prev = gp()
+        ls_by_scale[scale] = ls
+        if scale > 0:
+            bn_prev = per_scale[scale - 1][1]
+
+    # scale-0 two-level table builds + scans
+    ls0 = ls_by_scale[0]
+    a, bsym, tf = bc._split_rgb(x)
+    n = 512 * 512
+    T_u = tc.t_policy(n)
+    total += timeit("coarse tables x3 (scale 0)",
+                    lambda: [bld["coarse"][c](ls0, tf) for c in range(3)],
+                    out_of=lambda r: r[-1])
+    total += timeit(
+        "fine tables x3 (scale 0)",
+        lambda: [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
+                 for c in range(3)],
+        out_of=lambda r: r[-1])
+    ct = jnp.concatenate([bld["coarse"][c](ls0, tf) for c in range(3)], 0)
+    ft = jnp.concatenate(
+        [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
+         for c in range(3)], 0)
+    total += timeit(
+        "enc scan coarse (scale 0)",
+        lambda: bc._encode_unit(ct, _group_syms(a), tc.N_COARSE, n,
+                                3 * F, T_u),
+        out_of=lambda r: r[0])
+    total += timeit(
+        "enc scan fine (scale 0)",
+        lambda: bc._encode_unit(ft, _group_syms(bsym),
+                                1 << tc.FINE_BITS, n, 3 * F, T_u),
+        out_of=lambda r: r[0])
+    words_c, _ = bc._encode_unit(ct, _group_syms(a), tc.N_COARSE, n,
+                                 3 * F, T_u)
+    total += timeit(
+        "dec scan coarse full-width",
+        lambda: bc._decode_unit(ct[: F * n], words_c[: words_c.shape[0]
+                                                     // 3], tc.N_COARSE,
+                                n, F, T_u),
+        out_of=lambda r: r)
+
+    # bn scales (1..S-1) table builds + scans
+    C_bn = cfg.q.C
+    for scale in range(1, S):
+        ls = ls_by_scale[scale]
+        tgt = per_scale[scale - 1][0]
+        ns = tgt.shape[1] * tgt.shape[2]
+        T_s = tc.t_policy(ns)
+        total += timeit(f"bn tables (scale {scale})",
+                        lambda ls=ls: bld["bn"](ls))
+        tb = bld["bn"](ls)
+        total += timeit(
+            f"enc scan bn (scale {scale})",
+            lambda tb=tb, tgt=tgt, ns=ns, T_s=T_s: bc._encode_unit(
+                tb, _group_syms(tgt), bc._bn.L, ns, C_bn * F, T_s),
+            out_of=lambda r: r[0])
+
+    print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
