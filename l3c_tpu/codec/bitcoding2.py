@@ -155,14 +155,31 @@ class TpuBitcoding:
         # always dispatched at a physical batch from FBATCHES — the v4
         # determinism contract).
         self._enc_forward = jax.jit(self._enc_forward_impl)
-        # uint8 image -> (coarse syms, fine syms, float target) for the
-        # scale-0 two-level units, all on device (the image is uploaded
-        # ONCE as uint8; float32/int32 views never cross the host link)
-        self._split_rgb = jax.jit(lambda u8: (
-            u8.astype(jnp.int32) >> tc.FINE_BITS,
-            u8.astype(jnp.int32) & ((1 << tc.FINE_BITS) - 1),
-            u8.astype(jnp.float32)))
+        self._enc_head = jax.jit(self._enc_head_impl,
+                                 static_argnums=(2,))
+        # float view of the RGB target for the table builders (the image
+        # is uploaded ONCE as uint8; float32/int32 views never cross the
+        # host link — coarse/fine splitting happens inside the fused
+        # encode program)
+        self._tf_of = jax.jit(lambda t: t.astype(jnp.float32))
         self._to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
+        self._sub_mean = jax.jit(
+            lambda x: x - jnp.asarray(255.0 * layers.RGB_MEAN,
+                                      jnp.float32))
+        self._zeros_f32 = jax.jit(
+            lambda shape: jnp.zeros(shape, jnp.float32),
+            static_argnums=(0,))
+        # (rows, cols) unit view out of the flat uploaded word buffer;
+        # `off` stays a traced scalar so content-dependent offsets never
+        # trigger recompiles
+        self._slice_unit = jax.jit(
+            lambda flat, off, rows, cols: jax.lax.dynamic_slice(
+                flat, (off,), (rows * cols,)).reshape(rows, cols),
+            static_argnums=(2, 3))
+        # per-channel flattened coarse symbols for the fine builders
+        self._coarse_of = jax.jit(lambda t: tuple(
+            (t[..., c].astype(jnp.int32) >> tc.FINE_BITS).reshape(-1)
+            for c in range(3)))
         self._get_P = {
             s: jax.jit(lambda p, bn, decF, s=s: self.net.apply(
                 p, s, bn, decF, method=MultiscaleNetwork.get_P))
@@ -176,6 +193,9 @@ class TpuBitcoding:
         from ..ops import pallas_cdf
         self.use_pallas = pallas_cdf.pallas_cdf_enabled()
         self._builder_cache = {}
+        # per-unit-geometry predicted fetch widths (optimistic single-
+        # transfer fetch; see encode_batch_async)
+        self._width_pred = {}
         self._init_coder_jits()
 
     def _builders(self, use_pallas: bool):
@@ -205,6 +225,12 @@ class TpuBitcoding:
     def _init_coder_jits(self):
         # ---- integer coder jits (side-specific; exact by construction).
         # T is per-unit (t_policy on encode, the unit header on decode).
+        # Grouping/concat/lookup are folded INTO the programs: each
+        # eager op on the axon backend is a separate relay dispatch
+        # (~2-6ms), and an encode touches dozens of them. Only the
+        # FLOAT-producing programs (get_P, table builders) must stay
+        # standalone — they are the shared encode/decode determinism
+        # contract; everything integer fuses freely.
         self._encode_unit = jax.jit(
             lambda tables, syms, L, n, G, T: tc.encode_channels(
                 tables, syms, L, tc.layout_for(n, G, T)),
@@ -222,6 +248,89 @@ class TpuBitcoding:
                 words, L, tc.layout_for(n, G, T)),
             static_argnums=(1, 2, 3, 4))
 
+        def enc_bn_unit(tables, syms_nhwc, L, T):
+            # (F,h,w,C) bottleneck syms -> one fused group+encode program
+            return tc.encode_channels(tables, _group_syms(syms_nhwc), L,
+                                      tc.layout_for(
+                                          syms_nhwc.shape[1]
+                                          * syms_nhwc.shape[2],
+                                          syms_nhwc.shape[0]
+                                          * syms_nhwc.shape[3], T))
+        self._enc_bn_unit = jax.jit(enc_bn_unit, static_argnums=(2, 3))
+
+        def dec_uni_unit(flat, off, T, h, w, F, C, L, cols, baseline):
+            rows = C * F * tc.layout_for(h * w, 1, T).ns_c
+            words = jax.lax.dynamic_slice(
+                flat, (off,), (rows * cols,)).reshape(rows, cols)
+            syms = tc.decode_uniform(words, L,
+                                     tc.layout_for(h * w, C * F, T))
+            syms = _ungroup_syms(syms, F, h, w)
+            if baseline:
+                mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
+                return syms.astype(jnp.float32) - mean
+            return self._bn_levels[syms]
+        self._dec_uni_unit = jax.jit(
+            dec_uni_unit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+
+        def dec_bn_unit(flat, off, tables, T, h, w, F, C, L, cols):
+            # slice + decode scan + ungroup + levels lookup, one program
+            rows = C * F * tc.layout_for(h * w, 1, T).ns_c
+            words = jax.lax.dynamic_slice(
+                flat, (off,), (rows * cols,)).reshape(rows, cols)
+            syms = tc.decode_channels(tables, words, L,
+                                      tc.layout_for(h * w, C * F, T))
+            return self._bn_levels[_ungroup_syms(syms, F, h, w)]
+        self._dec_bn_unit = jax.jit(
+            dec_bn_unit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+
+        def dec_coarse_channel(ct, w_coarse, c, T_c, h, w, F):
+            # channel c's coarse symbols (the fine builder's input);
+            # the channel row slice happens in-program
+            n = h * w
+            nsc = tc.layout_for(n, 1, T_c).ns_c
+            wc = jax.lax.slice_in_dim(w_coarse, c * F * nsc,
+                                      (c + 1) * F * nsc, axis=0)
+            return tc.decode_channels(
+                ct, wc, tc.N_COARSE,
+                tc.layout_for(n, F, T_c)).reshape(-1)
+        self._dec_coarse_channel = jax.jit(
+            dec_coarse_channel, static_argnums=(2, 3, 4, 5, 6))
+
+        def dec_fine_channel(ft, w_fine, a_flat, decoded, c, T_f, h, w,
+                            F):
+            # channel c's fine scan + s = 16a + b reconstruction +
+            # write into the running `decoded` image, one program.
+            # (Table builds stay standalone contract programs.)
+            n = h * w
+            nsf = tc.layout_for(n, 1, T_f).ns_c
+            wf = jax.lax.slice_in_dim(w_fine, c * F * nsf,
+                                      (c + 1) * F * nsf, axis=0)
+            b_ = tc.decode_channels(ft, wf, 1 << tc.FINE_BITS,
+                                    tc.layout_for(n, F, T_f))
+            s_c = ((a_flat.reshape(F, h, w) << tc.FINE_BITS)
+                   | b_.reshape(F, h, w))
+            return decoded.at[..., c].set(s_c.astype(jnp.float32))
+        self._dec_fine_channel = jax.jit(
+            dec_fine_channel, static_argnums=(4, 5, 6, 7, 8))
+
+        def enc_rgb_units(cts, fts, target, T):
+            # both scale-0/RGB units (coarse + fine) in ONE program:
+            # split, table concat, symbol grouping, and the two scans
+            F, h, w, _ = target.shape
+            n = h * w
+            lay = tc.layout_for(n, 3 * F, T)
+            a = target.astype(jnp.int32) >> tc.FINE_BITS
+            bsym = (target.astype(jnp.int32)
+                    & ((1 << tc.FINE_BITS) - 1))
+            ct = jnp.concatenate(cts, 0)
+            ft = jnp.concatenate(fts, 0)
+            wc, lc = tc.encode_channels(ct, _group_syms(a),
+                                        tc.N_COARSE, lay)
+            wf, lf = tc.encode_channels(ft, _group_syms(bsym),
+                                        1 << tc.FINE_BITS, lay)
+            return wc, lc, wf, lf
+        self._enc_rgb_units = jax.jit(enc_rgb_units, static_argnums=(3,))
+
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
         if self._device is not None:
             return jax.device_put(arr, self._device)
@@ -234,6 +343,21 @@ class TpuBitcoding:
         enc_outs = self.net.apply(params, layers.sub_rgb_mean(x),
                                   method=MultiscaleNetwork.enc_forward)
         return [(eo.syms, eo.bn_q) for eo in enc_outs]
+
+    def _enc_head_impl(self, params, x_u8, T_u):
+        # forward pyramid + the uniform coarsest unit in one program.
+        # The forward's floats only pick the integer syms that get
+        # WRITTEN to the file (decode never recomputes them), so unlike
+        # get_P/tables it is free to fuse with the exact integer scan.
+        per_scale = self._enc_forward_impl(params, x_u8)
+        syms_c = per_scale[-1][0]
+        n_u = syms_c.shape[1] * syms_c.shape[2]
+        uni_L = self._rgb.L if self.cfg.rgb_bicubic_baseline else self._bn.L
+        uni_C = 3 if self.cfg.rgb_bicubic_baseline else self.cfg.q.C
+        F = syms_c.shape[0]
+        uni = tc.encode_uniform(_group_syms(syms_c), uni_L,
+                                tc.layout_for(n_u, uni_C * F, T_u))
+        return per_scale, uni
 
     # ------------------------------------------------------------ encode
 
@@ -293,25 +417,18 @@ class TpuBitcoding:
         S = self.cfg.num_scales
         C_bn = self.cfg.q.C
 
-        with self.times.run("[-] encode forwardpass"):
-            per_scale = self._enc_forward(self.params, x)
-            _sync(per_scale[0][0])
-
         baseline = self.cfg.rgb_bicubic_baseline
         units = []       # (words, lens)
         units_C = []     # channels per unit, for the per-image file split
-        syms_c = per_scale[S - 1][0]
-        n_u = syms_c.shape[1] * syms_c.shape[2]
-        uni_L = self._rgb.L if baseline else self._bn.L
         uni_C = 3 if baseline else C_bn
         units_T = []     # per-unit stream length (written to the file)
-        with self.times.run("uniform encode"):
-            T_u = tc.t_policy(n_u)
-            units.append(self._enc_uni(_group_syms(syms_c), uni_L,
-                                       n_u, uni_C * F, T_u))
+        T_uni = tc.t_policy((H >> S) * (W >> S))
+        with self.times.run("[-] forward+uniform"):
+            per_scale, uni = self._enc_head(self.params, x, T_uni)
+            units.append(uni)
             units_C.append(uni_C)
-            units_T.append(T_u)
-            _sync(units[-1][0])
+            units_T.append(T_uni)
+            _sync(uni[0])
 
         dec_F_prev = None
         bn_prev = per_scale[S - 1][1]
@@ -329,42 +446,63 @@ class TpuBitcoding:
                 n = target.shape[1] * target.shape[2]
                 bld = self._builders(self.use_pallas)
                 with self.times.run("tables+rans"):
+                    T_u = tc.t_policy(n)
                     if scale == 0 or baseline:
                         # RGB targets, two-level: coarse then fine, both
-                        # lambda-conditioned on the true channel values
-                        a, bsym, tf = self._split_rgb(target)
-                        T_u = tc.t_policy(n)
-                        ct = jnp.concatenate(
-                            [bld["coarse"][c](ls, tf)
-                             for c in range(3)], 0)
-                        units.append(self._encode_unit(
-                            ct, _group_syms(a), tc.N_COARSE, n, 3 * F,
-                            T_u))
+                        # lambda-conditioned on the true channel values.
+                        # Table builders stay standalone (the shared
+                        # float contract); both scans fuse into one
+                        # dispatch.
+                        tf = self._tf_of(target)
+                        a_flat = self._coarse_of(target)
+                        cts = [bld["coarse"][c](ls, tf)
+                               for c in range(3)]
+                        fts = [bld["fine"][c](ls, tf, a_flat[c])
+                               for c in range(3)]
+                        wc, lc, wf, lf = self._enc_rgb_units(
+                            cts, fts, target, T_u)
+                        units.append((wc, lc))
                         units_C.append(3)
                         units_T.append(T_u)
-                        ft = jnp.concatenate(
-                            [bld["fine"][c](
-                                ls, tf,
-                                a[..., c].reshape(F * n))
-                             for c in range(3)], 0)
-                        units.append(self._encode_unit(
-                            ft, _group_syms(bsym), 1 << tc.FINE_BITS,
-                            n, 3 * F, T_u))
+                        units.append((wf, lf))
                         units_C.append(3)
                         units_T.append(T_u)
                     else:
-                        T_u = tc.t_policy(n)
                         tables = bld["bn"](ls)
-                        units.append(self._encode_unit(
-                            tables, _group_syms(target), self._bn.L, n,
-                            C_bn * F, T_u))
+                        units.append(self._enc_bn_unit(
+                            tables, target, self._bn.L, T_u))
                         units_C.append(C_bn)
                         units_T.append(T_u)
                 _sync(units[-1][0])
 
+        # ---- optimistic single-transfer fetch plan: slice every unit's
+        # word array to a PREDICTED width (last batch's used width for
+        # the same unit geometry; full width when unseen) and dispatch
+        # ONE device-side concat of [all lengths (as u16 pairs), all
+        # sliced words] right here — the device packs while the host is
+        # still writing the previous batch, and finish() pays a single
+        # sync instead of two (each sync is a full tunnel round-trip).
+        # If a unit's true max length overflows the prediction, finish()
+        # refetches just that unit (rare: widths drift slowly across
+        # batches of similar content).
+        shapes = []
+        parts = [jnp.concatenate(
+            [u[1].astype(jnp.uint32).view(jnp.uint16).reshape(-1)
+             for u in units])]
+        lens_words = parts[0].shape[0]
+        for ui, (words, _) in enumerate(units):
+            full = words.shape[1]
+            key = (ui, words.shape[0], full)
+            ml = self._width_pred.get(key, full)
+            shapes.append((words.shape[0], ml, full, key))
+            parts.append(jax.lax.slice_in_dim(words, 0, ml,
+                                              axis=1).reshape(-1))
+        flat_fut = jnp.concatenate(parts)
+
         return dict(units=units, units_C=units_C, units_T=units_T,
                     pouts=pouts, B=B, F=F, S=S, H=H, W=W,
-                    pad_tuples=pad_tuples)
+                    pad_tuples=pad_tuples, flat_fut=flat_fut,
+                    shapes=shapes, lens_words=lens_words)
 
     def encode_batch_finish(self, handle) -> List[float]:
         units, units_C = handle["units"], handle["units_C"]
@@ -372,24 +510,30 @@ class TpuBitcoding:
         pouts, B, F = handle["pouts"], handle["B"], handle["F"]
         S, H, W = handle["S"], handle["H"], handle["W"]
         pad_tuples = handle["pad_tuples"]
-        # ---- fetch: lengths first (tiny, one sync), then ONE flat
-        # transfer of all units' used columns (each blocking sync costs
-        # 50-100ms through the tunnel; widths bucketed to multiples of
-        # 32 so the device-side slice compiles once per bucket)
+        shapes, lens_words = handle["shapes"], handle["lens_words"]
         with self.times.run("fetch"):
-            lens_np = jax.device_get([u[1] for u in units])
-            shapes = []
-            flat_parts = []
-            for (words, _), lens in zip(units, lens_np):
-                full = words.shape[1]
-                ml = min(-(-max(2, int(lens.max())) // 32) * 32, full)
-                shapes.append((words.shape[0], ml))
-                flat_parts.append(words[:, :ml].reshape(-1))
-            flat = np.asarray(jnp.concatenate(flat_parts))
-            words_np = []
+            flat = np.asarray(handle["flat_fut"])  # the single sync
+            lens_np = []
             off = 0
-            for ns, ml in shapes:
-                words_np.append(flat[off:off + ns * ml].reshape(ns, ml))
+            for words, _ in units:
+                ns = words.shape[0]
+                lens_np.append(flat[off:off + 2 * ns].view(np.uint32)
+                               .astype(np.int32))
+                off += 2 * ns
+            assert off == lens_words, (off, lens_words)
+            words_np = []
+            for ui, ((words, _), (ns, ml, full, key)) in enumerate(
+                    zip(units, shapes)):
+                need = max(2, int(lens_np[ui].max()))
+                # record the bucketed width for the NEXT batch's plan
+                self._width_pred[key] = min(-(-need // 32) * 32, full)
+                if need > ml:
+                    # prediction overflowed: refetch this unit in full
+                    words_np.append(np.asarray(words[:, :need]))
+                    off += ns * ml
+                    continue
+                words_np.append(
+                    flat[off:off + ns * ml].reshape(ns, ml)[:, :need])
                 off += ns * ml
         with self.times.run("write"):
             bpsps = []
@@ -519,34 +663,36 @@ class TpuBitcoding:
             [np.zeros(0, np.uint16)] + [
                 _assemble_unit(ws, cols_b, C, F).reshape(-1)
                 for ws, cols_b, C, _ in host_units])
-        flat_dev = self._put(flat_np)
+        # pad the flat transfer to a power-of-two bucket: the unit jits
+        # take (flat, offset) and dynamic_slice in-program, so only the
+        # BUCKETED flat length shows up as a compile-relevant shape
+        flat_len = 1 << 16
+        while flat_len < flat_np.size:
+            flat_len *= 2
+        flat_dev = self._put(np.concatenate(
+            [flat_np, np.zeros(flat_len - flat_np.size, np.uint16)]))
         unit_offsets = np.cumsum(
             [0] + [ws[0].shape[0] * F * cols_b
                    for ws, cols_b, _, _ in host_units])
 
-        def unit_words(ui: int, C: int) -> Tuple[jnp.ndarray, int]:
+        def unit_geom(ui: int, C: int) -> Tuple[int, int, int]:
             ws, cols_b, C_u, T_u = host_units[ui]
             assert C == C_u, (ui, C, C_u)
-            rows = ws[0].shape[0] * F
-            dev = flat_dev[int(unit_offsets[ui]):
-                           int(unit_offsets[ui + 1])].reshape(rows,
-                                                              cols_b)
-            return dev, T_u
+            return int(unit_offsets[ui]), cols_b, T_u
+
+        def unit_words(ui: int, C: int) -> Tuple[jnp.ndarray, int]:
+            off, cols_b, T_u = unit_geom(ui, C)
+            rows = host_units[ui][0][0].shape[0] * F
+            return self._slice_unit(flat_dev, off, rows, cols_b), T_u
 
         baseline = self.cfg.rgb_bicubic_baseline
-        mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
         h, w = H >> S, W >> S
         with self.times.run("uniform decode"):
-            if baseline:
-                w0, T0 = unit_words(0, 3)
-                syms = self._dec_uni(w0, self._rgb.L, h * w, 3 * F, T0)
-                syms = _ungroup_syms(syms, F, h, w)
-                bn_prev = syms.astype(jnp.float32) - mean
-            else:
-                w0, T0 = unit_words(0, C_bn)
-                syms = self._dec_uni(w0, self._bn.L, h * w, C_bn * F, T0)
-                syms = _ungroup_syms(syms, F, h, w)
-                bn_prev = self._bn_levels[syms]
+            C0 = 3 if baseline else C_bn
+            L0 = self._rgb.L if baseline else self._bn.L
+            off, cols_b, T0 = unit_geom(0, C0)
+            bn_prev = self._dec_uni_unit(flat_dev, off, T0, h, w, F, C0,
+                                         L0, cols_b, baseline)
             _sync(bn_prev)
 
         dec_F_prev = None
@@ -571,16 +717,14 @@ class TpuBitcoding:
                             # the host link at 1 byte/subpixel, not 4
                             imgs = self._to_u8(rgb)
                         else:
-                            bn_prev = rgb.astype(jnp.float32) - mean
+                            bn_prev = self._sub_mean(rgb)
                     else:
-                        words, T_u = unit_words(ui, C_bn)
+                        off, cols_b, T_u = unit_geom(ui, C_bn)
                         ui += 1
-                        n = hs * ws_
                         tables = bld["bn"](ls)
-                        syms = self._decode_unit(
-                            tables, words, self._bn.L, n, C_bn * F, T_u)
-                        bn_prev = self._bn_levels[
-                            _ungroup_syms(syms, F, hs, ws_)]
+                        bn_prev = self._dec_bn_unit(
+                            flat_dev, off, tables, T_u, hs, ws_, F,
+                            C_bn, self._bn.L, cols_b)
                     _sync(imgs if scale == 0 else bn_prev)
 
         return dict(imgs=imgs, headers=headers, B=B)
@@ -606,25 +750,17 @@ class TpuBitcoding:
         decode b, and reconstruct s = 16a + b. Table builders run
         batched at the physical fbatch (v4 determinism contract); the
         rANS scans stay fused across the batch."""
-        n = hs * ws
-        nsc_c = tc.layout_for(n, F, T_c).ns_c
-        nsc_f = tc.layout_for(n, F, T_f).ns_c
-        decoded = jnp.zeros((F, hs, ws, 3), jnp.float32)
-        ch_syms = []
+        decoded = self._zeros_f32((F, hs, ws, 3))
         for c in range(3):
-            rows_c = slice(c * F * nsc_c, (c + 1) * F * nsc_c)
-            rows_f = slice(c * F * nsc_f, (c + 1) * F * nsc_f)
             ct = bld["coarse"][c](ls, decoded)           # (F*n, 16)
-            a = self._decode_unit(ct, w_coarse[rows_c], tc.N_COARSE,
-                                  n, F, T_c)
-            ft = bld["fine"][c](ls, decoded, a.reshape(F * n))
-            b_ = self._decode_unit(ft, w_fine[rows_f],
-                                   1 << tc.FINE_BITS, n, F, T_f)
-            s_c = ((a.reshape(F, hs, ws) << tc.FINE_BITS)
-                   | b_.reshape(F, hs, ws))
-            ch_syms.append(s_c)
-            decoded = decoded.at[..., c].set(s_c.astype(jnp.float32))
-        return jnp.stack(ch_syms, axis=-1)
+            a_flat = self._dec_coarse_channel(ct, w_coarse, c, T_c,
+                                              hs, ws, F)
+            ft = bld["fine"][c](ls, decoded, a_flat)
+            decoded = self._dec_fine_channel(ft, w_fine, a_flat,
+                                             decoded, c, T_f, hs, ws, F)
+        # float with exact integer values 0..255 (the per-channel
+        # programs write reconstructed symbols); callers cast as needed
+        return decoded
 
 
 # ------------------------------------------------------------------ io

@@ -178,3 +178,23 @@ def test_wide_fbatch_16(setup, tmp_path):
     # a single file from the wide batch decodes alone too
     out0 = bc.decode(pouts[3])
     np.testing.assert_array_equal(out0, imgs[3])
+
+
+def test_v2_width_prediction_overflow(setup, tmp_path):
+    """The optimistic single-transfer fetch slices words to the PREVIOUS
+    batch's width for the same unit geometry; a higher-entropy batch must
+    trigger the refetch fallback and still round-trip bit-exactly."""
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    # batch 1: flat image => short streams recorded as the prediction
+    flat = np.full((1, 32, 32, 3), 128, np.uint8)
+    p1 = str(tmp_path / "flat.l3c")
+    bc.encode(flat, p1)
+    assert bc._width_pred, "prediction cache not populated"
+    # batch 2 (same geometry): full-entropy noise => longer streams than
+    # predicted, exercising the per-unit refetch path
+    noisy = _rand_img(32, 32, seed=7)
+    p2 = str(tmp_path / "noisy.l3c")
+    bc.encode(noisy, p2)
+    np.testing.assert_array_equal(bc.decode(p1), flat)
+    np.testing.assert_array_equal(bc.decode(p2), noisy)
