@@ -23,7 +23,7 @@ def make_bitcoding(cfg, net, params, backend: str = "auto", times=None,
                    **kw):
     """backend: 'auto'|'tpu' -> format v2; 'host'|'cpu' -> format v1."""
     if backend in ("auto", "tpu", "v2"):
-        return TpuBitcoding(cfg, net, params, times=times)
+        return TpuBitcoding(cfg, net, params, times=times, **kw)
     if backend in ("host", "cpu", "v1"):
         return Bitcoding(cfg, net, params, times=times, **kw)
     raise ValueError(f"unknown codec backend {backend!r}")
@@ -41,6 +41,6 @@ def open_decoder(path: str, cfg, net, params, times=None):
     v = file_version(path)
     if v == TpuBitcoding.VERSION:
         return TpuBitcoding(cfg, net, params, times=times)
-    if v == 1:
+    if v == Bitcoding.VERSION:
         return Bitcoding(cfg, net, params, times=times)
     raise DecodeError(f"{path}: unsupported format version {v}")

@@ -19,7 +19,7 @@ coders.py + coders_helpers.py. Key architectural differences:
   application per scale, like the reference (bitcoding.py:143-155), so
   decode ~= encode speed.
 
-File format (ours, version 1):
+File format (ours, version 2):
   magic 'L3TP' | version u8 | num_scales u8 | n_chunks u8 | flags u8
   | padL,padR,padT,padB u16*4 | padded H u16 | W u16
   then per scale coarse->fine:
@@ -50,7 +50,8 @@ from . import auto_crop, part_suffix
 
 MAGIC = b"L3TP"
 MAGIC_SEP = 0x4C334353  # 'L3CS'
-VERSION = 1
+VERSION = 2  # v2: coding CDF pins edge 0 to 0 (lower-tail
+             # absorption); v1 streams are undecodable here
 
 
 class DecodeError(Exception):
@@ -60,9 +61,13 @@ class DecodeError(Exception):
 class Bitcoding:
     """Encode/decode images against a trained model's parameters."""
 
+    VERSION = VERSION  # format version byte (module constant)
+
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  times=None, n_chunks: int = coder_mod.DEFAULT_CHUNKS,
-                 compare_with_theory: bool = False):
+                 compare_with_theory: bool = False,
+                 coder_profile=None):  # v1 streams are chunked, not T-split
+
         ensure_compile_cache()
         self.cfg = cfg
         self.net = net

@@ -1,4 +1,4 @@
-"""On-device codec (format v5): the entropy coder runs on the accelerator.
+"""On-device codec (format v6): the entropy coder runs on the accelerator.
 
 Successor to codec.bitcoding (format v1, host C++ rANS): all CDF tables
 AND the rANS coding itself run on-device (ops.tpu_coder), so the only
@@ -34,8 +34,8 @@ Scale coding structure (per image, one file "unit" per line):
                      the decoded coarse bin — 17+17 CDF edges per pixel
                      instead of 256 (ops.tpu_coder.rgb_*_tables)
 
-File format v5:
-  magic 'L3TP' | version=5 u8 | num_scales u8 | fbatch u8
+File format v6 (same layout as v5; tables pin CDF edge 0 to 0):
+  magic 'L3TP' | version=6 u8 | num_scales u8 | fbatch u8
   | padL,padR,padT,padB u16*4 | padded H u16 | W u16
   per unit: T u16 | n_streams u32
             | length block (mode u8: 0 = base u16 + u8 deltas,
@@ -126,10 +126,10 @@ def _assemble_unit(ws, cols_b: int, C: int, F: int) -> np.ndarray:
 class TpuBitcoding:
     """Encode/decode images with the fully on-device coder (format v5)."""
 
-    VERSION = 5
+    VERSION = 6  # v6 = v5 layout with lower-tail-absorbing tables
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
-                 times=None, device=None):
+                 times=None, device=None, coder_profile=None):
         """device: optional jax.Device pinning ALL of this codec's work
         (params, inputs, every jit dispatch) to one chip. Used by
         parallel.fanout.CodecFanout to run one codec instance per mesh
@@ -196,6 +196,8 @@ class TpuBitcoding:
         # per-unit-geometry predicted fetch widths (optimistic single-
         # transfer fetch; see encode_batch_async)
         self._width_pred = {}
+        # None -> L3C_CODER_PROFILE/balanced; eval passes 'size'
+        self.coder_profile = coder_profile
         self._init_coder_jits()
 
     def _builders(self, use_pallas: bool):
@@ -422,7 +424,7 @@ class TpuBitcoding:
         units_C = []     # channels per unit, for the per-image file split
         uni_C = 3 if baseline else C_bn
         units_T = []     # per-unit stream length (written to the file)
-        T_uni = tc.t_policy((H >> S) * (W >> S))
+        T_uni = tc.t_policy((H >> S) * (W >> S), self.coder_profile)
         with self.times.run("[-] forward+uniform"):
             per_scale, uni = self._enc_head(self.params, x, T_uni)
             units.append(uni)
@@ -446,7 +448,7 @@ class TpuBitcoding:
                 n = target.shape[1] * target.shape[2]
                 bld = self._builders(self.use_pallas)
                 with self.times.run("tables+rans"):
-                    T_u = tc.t_policy(n)
+                    T_u = tc.t_policy(n, self.coder_profile)
                     if scale == 0 or baseline:
                         # RGB targets, two-level: coarse then fine, both
                         # lambda-conditioned on the true channel values.

@@ -214,8 +214,12 @@ class MultiscaleTester:
             raise NotImplementedError(
                 "--write_to_files not implemented for --recursive")
         os.makedirs(out_dir, exist_ok=True)
+        # `size` coder profile: eval numbers are bitrate headlines,
+        # so spend longer rANS streams (fewer per-stream framing
+        # bytes) — serving/bench keep the faster `balanced` default
         bc = make_bitcoding(self.cfg, self.net, self.params,
-                            times=self.times, backend=self.codec_backend)
+                            times=self.times, backend=self.codec_backend,
+                            coder_profile="size")
         result = TestResult()
         for p in testset:
             img = self._load(p)

@@ -169,6 +169,12 @@ static inline __m256 exp_det8(__m256 w) {
 // symbol (same convention as torchac.cpp:181,340).
 static inline uint32_t cdf_q(const PixelModel* m, int l,
                              float t0, float bw, uint32_t M) {
+    // Edge 0 is pinned to 0: symbol 0 absorbs the open lower tail
+    // (DMLL expresses "x = x_min" by pushing mu below the range; the
+    // mass below t_0 must belong to symbol 0, like the implicit 65536
+    // top gives symbol L-1 the upper tail). Mirrors the TPU builders'
+    // _quantize_rows pin; reference coding CDFs span [0,1] the same way.
+    if (l == 0) return 0;
     float t = (float)l * bw + t0;
     float c;
 #ifdef L3C_AVX2

@@ -84,6 +84,7 @@ def build_cdf_table_pallas(pi: jnp.ndarray, mu: jnp.ndarray,
     lvals = np.arange(L, dtype=np.float32)
     targets = lvals * np.float32(bin_w) + np.float32(x_min - bin_w / 2.0)
     q = mixture_cdf_quantized(flat(pi), flat(mu), flat(inv_s), targets, L)
+    q = q.at[:, 0].set(0)  # lower-tail absorption (tpu_coder spec)
     q = jax.lax.cummax(q, axis=1) + jnp.arange(L, dtype=jnp.int32)
     return q.astype(jnp.uint16).reshape(*lead, L)
 
@@ -103,8 +104,13 @@ def _fine_kernel(pi_ref, mu_ref, inv_ref, a_ref, out_ref, *, K: int,
     for kk in range(K):                                   # static unroll
         z = (t - mu_ref[:, kk][:, None]) * inv_ref[:, kk][:, None]
         acc = acc + pi_ref[:, kk][:, None] * jax.nn.sigmoid(z)
-    lo = acc[:, :1]
-    denom = jnp.maximum(acc[:, -1:] - lo, 1e-9)
+    # tail absorption (tpu_coder.rgb_fine_tables): the first coarse
+    # bin's window opens at -inf (lo := 0), the last closes at +inf
+    # (hi := 1), so out-of-range mass lands in the edge fine symbols
+    a_col = a_ref[:, 0][:, None]
+    lo = jnp.where(a_col == 0.0, 0.0, acc[:, :1])
+    hi = jnp.where(a_col == np.float32(fine - 1), 1.0, acc[:, -1:])
+    denom = jnp.maximum(hi - lo, 1e-9)
     cond = (acc[:, :fine] - lo) / denom
     q = jnp.floor(jnp.clip(cond, 0.0, 1.0) * M + 0.5)
     out_ref[:] = q.astype(jnp.int32)

@@ -56,19 +56,26 @@ UNROLL = int(__import__("os").environ.get("L3C_UNROLL", "8"))
 CODER_PROFILE = __import__("os").environ.get("L3C_CODER_PROFILE",
                                              "balanced")
 _T_FORCED = "L3C_T_STREAM" in __import__("os").environ
-# profile -> (max streams per channel, max T)
+# profile -> (max streams per channel, max T). Framing costs ~5 bytes
+# per stream (u32 state + length field). Decode scan cost is LINEAR in
+# T at fixed content (T x lanes x used-width, lanes ~ n/T, width ~ T),
+# so `balanced` favors wall time (serving default) and `size` favors
+# bits: on small/low-bpsp files 64 streams/channel measured +4-5% file
+# overhead, which `size`'s longer streams cut to well under 1%. Eval
+# paths (MultiscaleTester.write_to_files) default to `size` — bitrate
+# headlines; bench/serving default to `balanced`.
 _PROFILES = {"speed": (1 << 30, 1024), "balanced": (64, 2048),
-             "size": (16, 8192)}
+             "size": (8, 16384)}
 
 
-def t_policy(n: int) -> int:
+def t_policy(n: int, profile: Optional[str] = None) -> int:
     """Stream length for a unit of n symbols/channel: the smallest
     power-of-two T in [1024, max_T] that keeps ceil(n/T) streams per
     channel under the profile's target. Recorded per unit in the v5
-    format, so files decode regardless of the decoder's profile."""
+    format, so files decode regardless of the writer's profile."""
     if _T_FORCED:
         return T_STREAM
-    nsc_max, t_max = _PROFILES[CODER_PROFILE]
+    nsc_max, t_max = _PROFILES[profile or CODER_PROFILE]
     t = 1024
     while t < t_max and -(-n // t) > nsc_max:
         t *= 2
@@ -150,6 +157,7 @@ def build_cdf_table(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
     if use_pallas is None:
         use_pallas = pallas_cdf.pallas_cdf_enabled()
     if use_pallas:
+        # (lower-tail pin applied inside build_cdf_table_pallas)
         return pallas_cdf.build_cdf_table_pallas(pi, mu, inv_s, x_min,
                                                  bin_w, L)
     lvals = np.arange(L, dtype=np.float32)
@@ -159,6 +167,7 @@ def build_cdf_table(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
     c = jnp.sum(pi[..., None] * jax.nn.sigmoid(z), axis=-2)  # (...,L)
     M = np.float32(65536 - L)
     q = jnp.floor(jnp.minimum(c, 1.0) * M + 0.5).astype(jnp.int32)
+    q = q.at[..., 0].set(0)  # lower-tail absorption (see _quantize_rows)
     q = jax.lax.cummax(q, axis=q.ndim - 1)
     q = q + jnp.arange(L, dtype=jnp.int32)
     return q.astype(jnp.uint16)
@@ -380,9 +389,19 @@ def _mixture_cdf_at(pi, mu, inv_s, t):
 
 
 def _quantize_rows(c: jnp.ndarray, L: int) -> jnp.ndarray:
-    """float CDF rows (..., L) -> uint16 per the table spec."""
+    """float CDF rows (..., L) -> uint16 per the table spec.
+
+    Column 0 is PINNED to 0: symbol 0 absorbs the open lower tail, the
+    implicit 65536 top gives symbol L-1 the upper tail — matching the
+    reference's coding CDF that always spans [0, 1]
+    (logistic_mixture.py cdf construction / torchac convention) and the
+    DMLL's open-tail bitcost. Without the pin, a confident model that
+    pushes mu below x_min (how DMLL expresses "x = x_min") leaves ~all
+    mass BELOW edge 0 and the true symbol got freq 1 => 16 bits against
+    a ~0-bit theory cost (observed +108% file size on a dark image)."""
     M = np.float32(65536 - L)
     q = jnp.floor(jnp.clip(c, 0.0, 1.0) * M + 0.5).astype(jnp.int32)
+    q = q.at[..., 0].set(0)
     q = jax.lax.cummax(q, axis=q.ndim - 1)
     return (q + jnp.arange(L, dtype=jnp.int32)).astype(jnp.uint16)
 
@@ -422,6 +441,7 @@ def rgb_coarse_tables(spec, l, c, C, decoded,
     if use_pallas:
         q = pallas_cdf.coarse_cdf_quantized(pi, mu, inv_s, edges_np,
                                             N_COARSE)
+        q = q.at[:, 0].set(0)  # lower-tail absorption (_quantize_rows)
         q = jax.lax.cummax(q, axis=1) + jnp.arange(N_COARSE, dtype=jnp.int32)
         return q.astype(jnp.uint16)
     cvals = _mixture_cdf_at(pi, mu, inv_s, jnp.broadcast_to(
@@ -446,6 +466,7 @@ def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray,
     if use_pallas:
         q = pallas_cdf.fine_cdf_quantized(pi, mu, inv_s, a.reshape(n),
                                           bw, t0, FINE)
+        q = q.at[:, 0].set(0)  # lower-tail absorption (_quantize_rows)
         q = jax.lax.cummax(q, axis=1) + jnp.arange(FINE, dtype=jnp.int32)
         return q.astype(jnp.uint16)
     k = jnp.arange(FINE + 1, dtype=jnp.float32)               # 0..16
@@ -453,8 +474,15 @@ def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray,
             * np.float32(1 << FINE_BITS))
     t = (base[:, None] + k) * bw + t0                         # (n, 17)
     cvals = _mixture_cdf_at(pi, mu, inv_s, t)                 # (n, 17)
-    lo = cvals[:, :1]
-    denom = jnp.maximum(cvals[:, -1:] - lo, 1e-9)
+    # Tail absorption in the CONDITIONAL too: the first coarse bin's
+    # window opens at -inf (C := 0) and the last closes at +inf
+    # (C := 1), so mass the model places outside [x_min, x_max] lands
+    # in the edge fine symbols instead of being normalized away — the
+    # exact conditional counterpart of _quantize_rows' row[0] pin.
+    af = a.reshape(n, 1)
+    lo = jnp.where(af == 0, 0.0, cvals[:, :1])
+    hi = jnp.where(af == N_COARSE - 1, 1.0, cvals[:, -1:])
+    denom = jnp.maximum(hi - lo, 1e-9)
     cond = (cvals[:, :FINE] - lo) / denom
     return _quantize_rows(cond, FINE)
 

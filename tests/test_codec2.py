@@ -80,7 +80,7 @@ def test_v2_rejects_v1_files(setup, tmp_path):
     img = _rand_img(16, 16, seed=3)
     p = str(tmp_path / "v1.l3c")
     Bitcoding(cfg, net, params).encode(img, p)
-    with pytest.raises(DecodeError, match="format v1"):
+    with pytest.raises(DecodeError, match="format v2"):
         TpuBitcoding(cfg, net, params).decode(p)
 
 

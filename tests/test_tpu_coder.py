@@ -141,6 +141,7 @@ def test_build_cdf_table_spec():
     c = (pi[:, :, None] / (1 + np.exp(-(t - mu[:, :, None])
                                       * inv_s[:, :, None]))).sum(1)
     q = np.floor(np.minimum(c, 1.0) * (65536 - L) + 0.5)
+    q[:, 0] = 0  # lower-tail absorption: symbol 0 starts at 0
     q = np.maximum.accumulate(q, 1) + np.arange(L)
     np.testing.assert_allclose(table, q, atol=1)  # float sigmoid slack
 
@@ -220,6 +221,7 @@ def test_rgb_coarse_fine_tables_spec():
     edges = (np.arange(16) * 16) * bw + t0
     c = _np_mixture_cdf(pi1, mu1, is1, np.broadcast_to(edges, (n, 16)))
     q = np.floor(np.clip(c, 0, 1) * (65536 - 16) + 0.5)
+    q[:, 0] = 0  # lower-tail absorption
     q = np.maximum.accumulate(q, 1) + np.arange(16)
     np.testing.assert_allclose(ct, q, atol=5)  # f32 vs f64 rounding
 
@@ -228,15 +230,17 @@ def test_rgb_coarse_fine_tables_spec():
     kk = np.arange(17)
     tfine = (a_np[:, None] * 16 + kk) * bw + t0
     cf = _np_mixture_cdf(pi1, mu1, is1, tfine)
-    denom = cf[:, -1:] - cf[:, :1]
-    cond = (cf[:, :16] - cf[:, :1]) / np.maximum(denom, 1e-9)
+    lo = np.where(a_np[:, None] == 0, 0.0, cf[:, :1])
+    hi = np.where(a_np[:, None] == 15, 1.0, cf[:, -1:])
+    cond = (cf[:, :16] - lo) / np.maximum(hi - lo, 1e-9)
     qf = np.floor(np.clip(cond, 0, 1) * (65536 - 16) + 0.5)
+    qf[:, 0] = 0  # lower-tail absorption
     qf = np.maximum.accumulate(qf, 1) + np.arange(16)
     # degenerate bins (negligible mass in the coarse bin) divide two
     # ~zero float32 quantities: numerically arbitrary but still a VALID
     # coding table (strict monotonicity asserted above); compare only
     # the well-conditioned rows against the float64 oracle
-    ok = denom[:, 0] > 1e-3
+    ok = (hi - lo)[:, 0] > 1e-3
     assert ok.sum() > n // 4
     np.testing.assert_allclose(ft[ok], qf[ok], atol=5)
 
@@ -268,3 +272,37 @@ def test_two_level_roundtrip_chain():
     np.testing.assert_array_equal(np.asarray(b_dec), b)
     np.testing.assert_array_equal(
         (np.asarray(a_dec) << 4) | np.asarray(b_dec), syms)
+
+
+def test_lower_tail_absorption():
+    """A confident model expresses "x = x_min" by pushing mu BELOW the
+    range (DMLL open lower tail). The coding table must give symbol 0
+    ~all the frequency; before the edge-0 pin this collapsed to freq 1
+    (16 bits where theory pays ~0 — observed +108% file size)."""
+    # single component far below the range, sharp-ish
+    pi = jnp.asarray([[1.0]])
+    mu = jnp.asarray([[-6.4]])
+    inv_s = jnp.asarray([[2.3]])
+    table = np.asarray(tc.build_cdf_table(pi, mu, inv_s, 0.0, 1.0, 256),
+                       np.int64)[0]
+    freq0 = table[1] - table[0]
+    assert table[0] == 0
+    assert freq0 > 60000, freq0  # ~all mass, not 1
+
+    # coarse/fine two-level path, same regime
+    spec = dmll.DMLLSpec(rgb_scale=True)
+    K = dmll.non_shared_get_K(dmll.non_shared_get_Kp(1, 3), 3)
+    l = np.zeros((1, 1, 1, dmll.non_shared_get_Kp(1, 3)), np.float32)
+    # layout p,c,k: pi=anything (K=1 softmax -> 1), mu ch0 = -6.4,
+    # log_s ch0 = log(1/2.3)
+    lr = l.reshape(1, 1, 1, 4, 3, 1)
+    lr[..., 1, 0, 0] = -6.4
+    lr[..., 2, 0, 0] = np.log(1 / 2.3)
+    dec = jnp.zeros((1, 1, 1, 3), jnp.float32)
+    ct = np.asarray(tc.rgb_coarse_tables(spec, jnp.asarray(l), 0, 3, dec),
+                    np.int64)[0]
+    assert ct[0] == 0 and ct[1] - ct[0] > 60000, ct
+    a0 = jnp.zeros((1,), jnp.int32)
+    ft = np.asarray(tc.rgb_fine_tables(spec, jnp.asarray(l), 0, 3, dec,
+                                       a0), np.int64)[0]
+    assert ft[0] == 0 and ft[1] - ft[0] > 60000, ft
