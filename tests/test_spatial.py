@@ -1,0 +1,83 @@
+"""Spatial (height) sharding: halo exchange + sharded bpsp equivalence."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from l3c_tpu import blueprint
+from l3c_tpu.config import MsConfig, EncConfig, DecConfig, QConfig, ProbConfig
+from l3c_tpu.models import layers
+from l3c_tpu.models.network import MultiscaleNetwork
+from l3c_tpu.parallel import mesh as mesh_mod
+from l3c_tpu.parallel import spatial
+
+
+def small_cfg():
+    return MsConfig(num_scales=3, Cf=16,
+                    enc=EncConfig(num_blocks=2), dec=DecConfig(num_blocks=2),
+                    q=QConfig(C=5, L=25), prob=ProbConfig(K=3))
+
+
+def test_halo_exchange_rows():
+    """Each slab sees its true neighbors' rows; global edges see zeros."""
+    mesh = mesh_mod.make_mesh(jax.devices()[:4])
+    n, h, W = 4, 8, 4
+    full = np.arange(n * h * W * 1, dtype=np.float32).reshape(n * h, W, 1)
+
+    def fn(x_sh):
+        return spatial.halo_exchange(x_sh, halo=2)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    sharded = shard_map(
+        fn, mesh=mesh, in_specs=P(mesh_mod.DATA_AXIS),
+        out_specs=P(mesh_mod.DATA_AXIS), check_vma=False)
+    # shard over leading (batch-like) axis: reshape to (n, h, W, 1) slabs
+    x = full.reshape(n, h, W, 1)
+    out = np.asarray(jax.jit(sharded)(jnp.asarray(x)))
+    out = out.reshape(n, h + 4, W, 1)
+    # interior slab 1: top halo == slab 0's last rows, bottom == slab 2's
+    np.testing.assert_array_equal(out[1, :2], x[0, -2:])
+    np.testing.assert_array_equal(out[1, -2:], x[2, :2])
+    np.testing.assert_array_equal(out[1, 2:-2], x[1])
+    # global boundaries zero-padded
+    assert (out[0, :2] == 0).all()
+    assert (out[3, -2:] == 0).all()
+
+
+@pytest.mark.parametrize("n_dev", [8])
+def test_spatial_bpsp_matches_single_device(n_dev):
+    """Height-sharded forward + valid-region bitcost == unsharded bpsp
+    (halo covering the receptive field)."""
+    cfg = small_cfg()
+    net = MultiscaleNetwork(cfg)
+    H, W, halo = 1024, 32, 128
+    rng = np.random.RandomState(0)
+    # smooth-ish image so costs are stable across float reassociation
+    base = rng.randint(0, 256, (H // 32, W // 8, 3)).astype(np.float32)
+    img = np.kron(base, np.ones((32, 8, 1))).astype(np.uint8)[None]
+
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+
+    @jax.jit
+    def single(params, x):
+        out = net.apply(params, layers.sub_rgb_mean(
+            x.astype(jnp.float32)), train=False)
+        return blueprint.total_bpsp(blueprint.compute_loss(cfg, out))
+
+    ref = float(single(params, jnp.asarray(img)))
+
+    mesh = mesh_mod.make_mesh(jax.devices()[:n_dev])
+    got = spatial.spatial_bpsp(cfg, net, params, mesh, img, halo=halo)
+    assert got == pytest.approx(ref, rel=2e-3), (got, ref)
+
+
+def test_spatial_geometry_checks():
+    cfg = small_cfg()
+    net = MultiscaleNetwork(cfg)
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="divide"):
+        spatial.spatial_bpsp_fn(cfg, net, mesh, H=100, W=32, halo=16)
+    with pytest.raises(ValueError, match="multiples"):
+        spatial.spatial_bpsp_fn(cfg, net, mesh, H=256, W=32, halo=12)
