@@ -180,9 +180,22 @@ class TpuBitcoding:
         self._coarse_of = jax.jit(lambda t: tuple(
             (t[..., c].astype(jnp.int32) >> tc.FINE_BITS).reshape(-1)
             for c in range(3)))
+        # get_P + pack_coder_params in ONE shared program per scale:
+        # the builders consume pre-packed (pi, mu, inv_s, lam) so the
+        # softmax/exp over every channel's mixture params runs once per
+        # scale instead of once per table builder (6x on RGB scales —
+        # measured ~2x on the coarse-table stage at the bench shape).
+        def _get_P_packed(p, bn, decF, s):
+            ls, dec_F = self.net.apply(p, s, bn, decF,
+                                       method=MultiscaleNetwork.get_P)
+            spec = (self._rgb if (s == 0 or cfg.rgb_bicubic_baseline)
+                    else self._bn)
+            C = 3 if (s == 0 or cfg.rgb_bicubic_baseline) else cfg.q.C
+            packed = dmll_mod.pack_coder_params(spec, ls, C)
+            return packed, dec_F
         self._get_P = {
-            s: jax.jit(lambda p, bn, decF, s=s: self.net.apply(
-                p, s, bn, decF, method=MultiscaleNetwork.get_P))
+            s: jax.jit(lambda p, bn, decF, s=s: _get_P_packed(p, bn,
+                                                              decF, s))
             for s in range(cfg.num_scales)
         }
         # Table-builder implementation: fused Pallas kernels or plain
@@ -208,18 +221,19 @@ class TpuBitcoding:
             cfg = self.cfg
             self._builder_cache[use_pallas] = dict(
                 bn=jax.jit(
-                    lambda l, up=use_pallas: tc.mixture_tables_all_channels(
-                        self._bn, l, cfg.q.C, None, use_pallas=up)),
+                    lambda pk, up=use_pallas:
+                        tc.mixture_tables_all_channels_packed(
+                            self._bn, pk, cfg.q.C, None, use_pallas=up)),
                 coarse={
-                    c: jax.jit(lambda l, dec, c=c, up=use_pallas:
-                               tc.rgb_coarse_tables(
-                                   self._rgb, l, c, 3, dec,
+                    c: jax.jit(lambda pk, dec, c=c, up=use_pallas:
+                               tc.rgb_coarse_tables_packed(
+                                   self._rgb, pk, c, dec,
                                    use_pallas=up))
                     for c in range(3)},
                 fine={
-                    c: jax.jit(lambda l, dec, a, c=c, up=use_pallas:
-                               tc.rgb_fine_tables(
-                                   self._rgb, l, c, 3, dec, a,
+                    c: jax.jit(lambda pk, dec, a, c=c, up=use_pallas:
+                               tc.rgb_fine_tables_packed(
+                                   self._rgb, pk, c, dec, a,
                                    use_pallas=up))
                     for c in range(3)})
         return self._builder_cache[use_pallas]
@@ -439,7 +453,7 @@ class TpuBitcoding:
                 with self.times.run("get_P"):
                     ls, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
-                    _sync(ls)
+                    _sync(ls[0])
                 if scale == 0:
                     target = x  # the uint8 upload; split on device
                 else:
@@ -705,7 +719,7 @@ class TpuBitcoding:
                 with self.times.run("get_P"):
                     ls, dec_F_prev = self._get_P[scale](
                         self.params, bn_prev, dec_F_prev)
-                    _sync(ls)
+                    _sync(ls[0])
                 hs, ws_ = H >> scale, W >> scale
                 with self.times.run("tables+rans"):
                     if scale == 0 or baseline:

@@ -406,9 +406,15 @@ def _quantize_rows(c: jnp.ndarray, L: int) -> jnp.ndarray:
     return (q + jnp.arange(L, dtype=jnp.int32)).astype(jnp.uint16)
 
 
-def _channel_params(spec, l, c, C, decoded):
-    """(pi, mu~, inv_s) for channel c with lambda conditioning applied."""
-    pi, mu, inv_s, lam = dmll_mod.pack_coder_params(spec, l, C)
+def _channel_params_packed(spec, packed, c, decoded):
+    """(pi, mu~, inv_s) for channel c from PRE-PACKED params.
+
+    `packed` = dmll.pack_coder_params output (pi softmaxed, raw mu,
+    inv_s, sigmoid'd lam). Packing once per scale (inside the shared
+    get_P program) instead of once per builder saves re-running the
+    softmax/exp over ALL channels' mixture params 6x per RGB scale —
+    measured ~2x on the coarse-table stage at the bench shape."""
+    pi, mu, inv_s, lam = packed
     mu_c = mu[..., c, :]
     if spec.rgb_scale and c > 0 and decoded is not None:
         if c == 1:
@@ -422,18 +428,34 @@ def _channel_params(spec, l, c, C, decoded):
             inv_s[..., c, :].reshape(n, K))
 
 
+def _channel_params(spec, l, c, C, decoded):
+    """(pi, mu~, inv_s) for channel c with lambda conditioning applied."""
+    return _channel_params_packed(
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded)
+
+
 def rgb_coarse_tables(spec, l, c, C, decoded,
                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """(n, 16) uint16 coarse tables for channel c.
+    """(n, 16) uint16 coarse tables for channel c (packs `l` itself;
+    hot path: rgb_coarse_tables_packed with a pre-packed scale)."""
+    return rgb_coarse_tables_packed(
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded,
+        use_pallas=use_pallas)
+
+
+def rgb_coarse_tables_packed(spec, packed, c, decoded,
+                             use_pallas: Optional[bool] = None
+                             ) -> jnp.ndarray:
+    """(n, 16) uint16 coarse tables for channel c from PACKED params.
 
     use_pallas selects the fused Pallas evaluation of the 16 coarse
     edges (None = pallas_cdf.pallas_cdf_enabled()). The choice is part
-    of the v5 determinism contract: files record it in the header flags
+    of the determinism contract: files record it in the header flags
     and decode replays the same implementation."""
     from . import pallas_cdf
     if use_pallas is None:
         use_pallas = pallas_cdf.pallas_cdf_enabled()
-    pi, mu, inv_s = _channel_params(spec, l, c, C, decoded)
+    pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
     edges_np = ((np.arange(N_COARSE) << FINE_BITS).astype(np.float32)
@@ -451,14 +473,24 @@ def rgb_coarse_tables(spec, l, c, C, decoded,
 
 def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray,
                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """(n, 16) uint16 fine tables for channel c (packs `l` itself;
+    hot path: rgb_fine_tables_packed with a pre-packed scale)."""
+    return rgb_fine_tables_packed(
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded, a,
+        use_pallas=use_pallas)
+
+
+def rgb_fine_tables_packed(spec, packed, c, decoded, a: jnp.ndarray,
+                           use_pallas: Optional[bool] = None
+                           ) -> jnp.ndarray:
     """(n, 16) uint16 fine tables conditional on coarse symbols a (n,).
 
     use_pallas: fused Pallas kernel for the 17-edge conditional rows
-    (same contract note as rgb_coarse_tables)."""
+    (same contract note as rgb_coarse_tables_packed)."""
     from . import pallas_cdf
     if use_pallas is None:
         use_pallas = pallas_cdf.pallas_cdf_enabled()
-    pi, mu, inv_s = _channel_params(spec, l, c, C, decoded)
+    pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
     n = pi.shape[0]
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
@@ -502,7 +534,17 @@ def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
     autoregression, logistic_mixture.py:248-275).
     Returns (H*W, L) uint16.
     """
-    pi, mu, inv_s, lam = dmll_mod.pack_coder_params(spec, l, C)
+    return mixture_tables_for_channel_packed(
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded,
+        use_pallas=use_pallas)
+
+
+def mixture_tables_for_channel_packed(
+        spec: dmll_mod.DMLLSpec, packed, c: int,
+        decoded: Optional[jnp.ndarray],
+        use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """mixture_tables_for_channel from PRE-PACKED scale params."""
+    pi, mu, inv_s, lam = packed
     mu_c = mu[..., c, :]
     if spec.rgb_scale and c > 0 and decoded is not None:
         if c == 1:
@@ -529,7 +571,17 @@ def mixture_tables_all_channels(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
                                 use_pallas: Optional[bool] = None
                                 ) -> jnp.ndarray:
     """Tables for ALL channels stacked channel-major: (C*H*W, L) u16."""
-    tabs = [mixture_tables_for_channel(spec, l, c, C, decoded,
-                                       use_pallas=use_pallas)
+    return mixture_tables_all_channels_packed(
+        spec, dmll_mod.pack_coder_params(spec, l, C), C, decoded,
+        use_pallas=use_pallas)
+
+
+def mixture_tables_all_channels_packed(
+        spec: dmll_mod.DMLLSpec, packed, C: int,
+        decoded: Optional[jnp.ndarray],
+        use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """All channels' tables from ONE pre-packed scale: (C*H*W, L) u16."""
+    tabs = [mixture_tables_for_channel_packed(spec, packed, c, decoded,
+                                              use_pallas=use_pallas)
             for c in range(C)]
     return jnp.concatenate(tabs, axis=0)

@@ -85,7 +85,8 @@ def main():
     for scale in reversed(range(S)):
         def gp(scale=scale, bn=bn_prev, dF=dec_F_prev):
             return bc._get_P[scale](bc.params, bn, dF)
-        total += timeit(f"get_P[{scale}]", gp, out_of=lambda r: r[0])
+        total += timeit(f"get_P[{scale}]", gp,
+                        out_of=lambda r: r[0][0])
         ls, dec_F_prev = gp()
         ls_by_scale[scale] = ls
         if scale > 0:
@@ -93,7 +94,11 @@ def main():
 
     # scale-0 two-level table builds + scans
     ls0 = ls_by_scale[0]
-    a, bsym, tf = bc._split_rgb(x)
+    tf = bc._tf_of(x)
+    split = jax.jit(lambda u8: (u8.astype(jnp.int32) >> tc.FINE_BITS,
+                                u8.astype(jnp.int32)
+                                & ((1 << tc.FINE_BITS) - 1)))
+    a, bsym = split(x)
     n = 512 * 512
     T_u = tc.t_policy(n)
     total += timeit("coarse tables x3 (scale 0)",
