@@ -107,20 +107,22 @@ def _ungroup_syms(flat_gn: jnp.ndarray, F: int, h: int, w: int
     return flat_gn.reshape(C, F, h, w).transpose(1, 2, 3, 0)
 
 
-def _assemble_unit(ws, cols_b: int, C: int, F: int) -> np.ndarray:
-    """Per-file word arrays -> one (C*F*ns_c, cols_b) channel-major/
-    batch-minor padded array (host side). len(ws) = B <= F; dummy slots
-    b >= B repeat stream 0 (valid data, decoded then discarded)."""
-    B = len(ws)
-    ns_c = ws[0].shape[0] // C
-    out = np.zeros((C * F * ns_c, cols_b), np.uint16)
-    for c in range(C):
-        for b in range(F):
-            w = ws[b if b < B else 0]
-            w = w[c * ns_c: (c + 1) * ns_c]
-            out[(c * F + b) * ns_c: (c * F + b + 1) * ns_c,
-                : w.shape[1]] = w
-    return out
+def _unpad_dev(flat: jnp.ndarray, hdr_off, rows: int, cols: int
+               ) -> jnp.ndarray:
+    """Rebuild one unit's padded (rows, cols) scan layout on device.
+
+    `flat` = [u32 row offsets as u16 pairs for ALL rows | dense words |
+    slack]; hdr_off (traced scalar) = element index of this unit's
+    offset pairs. Each row's words are a contiguous run, so a vmap'd
+    dynamic_slice (one per row) re-pads the whole unit in ~10ms where a
+    padded host upload cost hundreds of ms of tunnel time. Columns past
+    a row's true length hold the NEXT rows' words — harmless: the rANS
+    scan's word cursor never advances past the row's own renorm count."""
+    pairs = jax.lax.dynamic_slice(flat, (hdr_off,), (2 * rows,))
+    offs = (pairs[0::2].astype(jnp.int32)
+            | (pairs[1::2].astype(jnp.int32) << 16))
+    return jax.vmap(
+        lambda o: jax.lax.dynamic_slice(flat, (o,), (cols,)))(offs)
 
 
 class TpuBitcoding:
@@ -169,13 +171,11 @@ class TpuBitcoding:
         self._zeros_f32 = jax.jit(
             lambda shape: jnp.zeros(shape, jnp.float32),
             static_argnums=(0,))
-        # (rows, cols) unit view out of the flat uploaded word buffer;
-        # `off` stays a traced scalar so content-dependent offsets never
-        # trigger recompiles
-        self._slice_unit = jax.jit(
-            lambda flat, off, rows, cols: jax.lax.dynamic_slice(
-                flat, (off,), (rows * cols,)).reshape(rows, cols),
-            static_argnums=(2, 3))
+        # (rows, cols) padded unit view out of the DENSE uploaded word
+        # buffer (u32 row-offset header + packed stream words). hdr_off
+        # stays a traced scalar so content-dependent offsets never
+        # trigger recompiles.
+        self._unpad_unit = jax.jit(_unpad_dev, static_argnums=(2, 3))
         # per-channel flattened coarse symbols for the fine builders
         self._coarse_of = jax.jit(lambda t: tuple(
             (t[..., c].astype(jnp.int32) >> tc.FINE_BITS).reshape(-1)
@@ -276,8 +276,7 @@ class TpuBitcoding:
 
         def dec_uni_unit(flat, off, T, h, w, F, C, L, cols, baseline):
             rows = C * F * tc.layout_for(h * w, 1, T).ns_c
-            words = jax.lax.dynamic_slice(
-                flat, (off,), (rows * cols,)).reshape(rows, cols)
+            words = _unpad_dev(flat, off, rows, cols)
             syms = tc.decode_uniform(words, L,
                                      tc.layout_for(h * w, C * F, T))
             syms = _ungroup_syms(syms, F, h, w)
@@ -289,10 +288,9 @@ class TpuBitcoding:
             dec_uni_unit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 
         def dec_bn_unit(flat, off, tables, T, h, w, F, C, L, cols):
-            # slice + decode scan + ungroup + levels lookup, one program
+            # unpad + decode scan + ungroup + levels lookup, one program
             rows = C * F * tc.layout_for(h * w, 1, T).ns_c
-            words = jax.lax.dynamic_slice(
-                flat, (off,), (rows * cols,)).reshape(rows, cols)
+            words = _unpad_dev(flat, off, rows, cols)
             syms = tc.decode_channels(tables, words, L,
                                       tc.layout_for(h * w, C * F, T))
             return self._bn_levels[_ungroup_syms(syms, F, h, w)]
@@ -646,15 +644,19 @@ class TpuBitcoding:
 
         C_bn = self.cfg.q.C
 
-        # reassemble channel-major/batch-minor word arrays per unit on
-        # the host (32-column buckets of the used width), upload ALL
-        # units in ONE flat transfer (syncs cost 50-100ms through the
-        # tunnel), then slice + pad to the static (lanes, T+2) scan
-        # shape on device per unit (cheap dispatches)
+        # DENSE single upload: only real stream words (plus a u32 per
+        # row header of word offsets) cross the host link; the padded
+        # (rows, cols) scan layouts are rebuilt on device by a vmap'd
+        # dynamic_slice per unit (~10ms for the largest unit vs
+        # hundreds of ms of tunnel time for pow2-padded uploads).
+        # Row order per unit: channel-major/batch-minor, dummy physical
+        # slots b >= B repeating file 0 (decoded then discarded).
         unit_Cs = [3 if baseline0 else C_bn]
         for s in reversed(range(S_cfg)):
             unit_Cs += [3, 3] if (s == 0 or baseline0) else [C_bn]
-        host_units = []
+        host_units = []          # (rows, cols_b, C, T_u)
+        dense_parts = []         # row payload blocks, global row order
+        lens_rows = []           # per-row lengths, global row order
         for ui in range(n_units):
             Ts = {per_file_units[b][ui][0] for b in range(B)}
             if len(Ts) != 1:
@@ -662,44 +664,68 @@ class TpuBitcoding:
                     f"unit {ui}: files use different stream lengths "
                     f"{sorted(Ts)}; decode them separately")
             T_u = Ts.pop()
-            full = T_u + 2
-            ws = [per_file_units[b][ui][1] for b in range(B)]
-            cols = max(2, max(w.shape[1] for w in ws))
-            # Bucket the word-array width to a power of two (>=32) instead
-            # of padding every unit to T+2: the decode scan's word select
-            # is O(width) per symbol, so running it at the real stream
-            # width (typically 128-256 of 1026 columns) cuts the dominant
-            # decode cost 4-8x. Pow2 buckets bound the compile count.
+            C = unit_Cs[ui]
+            payloads = [per_file_units[b][ui][1] for b in range(B)]
+            lens = [per_file_units[b][ui][2] for b in range(B)]
+            ns = lens[0].shape[0]
+            for ln in lens:
+                if ln.shape[0] != ns:
+                    raise DecodeError("stream-count mismatch in batch")
+            if ns % C:
+                raise DecodeError(f"unit {ui}: {ns} streams not "
+                                  f"divisible by {C} channels")
+            ns_c = ns // C
+            cums = [np.concatenate([[0], np.cumsum(ln)]) for ln in lens]
+            cols = max(2, max(int(ln.max()) for ln in lens))
+            # cols is the device scan width: bucket to pow2 (bounds the
+            # compile count; the decode scan's word select is O(cols))
             cols_b = 32
             while cols_b < cols:
                 cols_b *= 2
-            cols_b = min(cols_b, full)
-            host_units.append((ws, cols_b, unit_Cs[ui], T_u))
-        flat_np = np.concatenate(
-            [np.zeros(0, np.uint16)] + [
-                _assemble_unit(ws, cols_b, C, F).reshape(-1)
-                for ws, cols_b, C, _ in host_units])
-        # pad the flat transfer to a power-of-two bucket: the unit jits
-        # take (flat, offset) and dynamic_slice in-program, so only the
-        # BUCKETED flat length shows up as a compile-relevant shape
+            cols_b = min(cols_b, T_u + 2)
+            for c in range(C):
+                for bp in range(F):
+                    b = bp if bp < B else 0
+                    lo = int(cums[b][c * ns_c])
+                    hi = int(cums[b][(c + 1) * ns_c])
+                    dense_parts.append(payloads[b][lo:hi])
+                    lens_rows.append(lens[b][c * ns_c:(c + 1) * ns_c])
+            host_units.append((C * F * ns_c, cols_b, C, T_u))
+        lens_all = np.concatenate(lens_rows).astype(np.int64)
+        n_rows_total = int(lens_all.shape[0])
+        hdr_words = 2 * n_rows_total
+        # element offset of each row's words inside the uploaded buffer
+        row_offs = (hdr_words
+                    + np.concatenate([[0], np.cumsum(lens_all)])[:-1]
+                    ).astype(np.uint32)
+        max_cols = max(cb for _, cb, _, _ in host_units)
+        flat_np = np.concatenate([
+            np.stack([(row_offs & 0xFFFF).astype(np.uint16),
+                      (row_offs >> 16).astype(np.uint16)],
+                     axis=1).reshape(-1),
+            np.concatenate(dense_parts),
+            # slack so every row's (off, cols) dynamic_slice stays
+            # in-bounds without clamping into earlier rows' data
+            np.zeros(max_cols, np.uint16)])
+        # pad the flat transfer to a power-of-two bucket: only the
+        # BUCKETED length is a compile-relevant shape
         flat_len = 1 << 16
         while flat_len < flat_np.size:
             flat_len *= 2
         flat_dev = self._put(np.concatenate(
             [flat_np, np.zeros(flat_len - flat_np.size, np.uint16)]))
-        unit_offsets = np.cumsum(
-            [0] + [ws[0].shape[0] * F * cols_b
-                   for ws, cols_b, _, _ in host_units])
+        unit_row_starts = np.cumsum(
+            [0] + [rows for rows, _, _, _ in host_units])
 
         def unit_geom(ui: int, C: int) -> Tuple[int, int, int]:
-            ws, cols_b, C_u, T_u = host_units[ui]
+            rows, cols_b, C_u, T_u = host_units[ui]
             assert C == C_u, (ui, C, C_u)
-            return int(unit_offsets[ui]), cols_b, T_u
+            return 2 * int(unit_row_starts[ui]), cols_b, T_u
 
         def unit_words(ui: int, C: int) -> Tuple[jnp.ndarray, int]:
-            off, cols_b, T_u = unit_geom(ui, C)
-            rows = host_units[ui][0][0].shape[0] * F
-            return self._slice_unit(flat_dev, off, rows, cols_b), T_u
+            hdr_off, cols_b, T_u = unit_geom(ui, C)
+            rows = host_units[ui][0]
+            return self._unpad_unit(flat_dev, hdr_off, rows, cols_b), T_u
 
         baseline = self.cfg.rgb_bicubic_baseline
         h, w = H >> S, W >> S
@@ -805,7 +831,11 @@ def _write_unit(fout, words: np.ndarray, lengths: np.ndarray, T: int):
 
 
 def _read_unit(fin):
-    """-> (T, words (NS, max_len) u16 padded) for the decoder."""
+    """-> (T, payload u16 DENSE stream-major, lengths int64 per stream).
+
+    The payload stays dense: the decoder uploads it as-is and re-pads
+    to the (rows, cols) scan layout ON DEVICE (vmap'd dynamic_slice),
+    so only real stream bytes cross the host link."""
     T, ns = struct.unpack("<HI", fin.read(6))
     if ns == 0 or ns > 1 << 24:
         raise DecodeError(f"bad stream count {ns}")
@@ -824,11 +854,9 @@ def _read_unit(fin):
     payload = np.frombuffer(fin.read(2 * total), "<u2")
     if payload.size != total:
         raise DecodeError("truncated stream payload")
-    cols = int(lengths.max()) if ns else 2
-    words = np.zeros((ns, cols), np.uint16)
-    mask = np.arange(cols)[None, :] < lengths[:, None]
-    words[mask] = payload
-    return T, words
+    if (lengths < 2).any():
+        raise DecodeError("stream shorter than its rANS state")
+    return T, payload, lengths
 
 
 def _read_file(pin: str, expect_scales: int, n_units: int):
