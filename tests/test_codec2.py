@@ -198,3 +198,29 @@ def test_v2_width_prediction_overflow(setup, tmp_path):
     bc.encode(noisy, p2)
     np.testing.assert_array_equal(bc.decode(p1), flat)
     np.testing.assert_array_equal(bc.decode(p2), noisy)
+
+
+def test_unpad_dev_layout():
+    """_unpad_dev rebuilds each row's padded scan view from the dense
+    [u32-offset header | packed words] upload layout."""
+    from l3c_tpu.codec.bitcoding2 import _unpad_dev
+    rng = np.random.RandomState(3)
+    lens = np.array([5, 2, 9, 4], np.int64)
+    rows, cols = len(lens), 8
+    dense = rng.randint(0, 65535, int(lens.sum())).astype(np.uint16)
+    hdr = 2 * rows
+    offs = (hdr + np.concatenate([[0], np.cumsum(lens)])[:-1]
+            ).astype(np.uint32)
+    flat = np.concatenate([
+        np.stack([(offs & 0xFFFF).astype(np.uint16),
+                  (offs >> 16).astype(np.uint16)], 1).reshape(-1),
+        dense, np.zeros(cols, np.uint16)])
+    out = np.asarray(jax.jit(_unpad_dev, static_argnums=(2, 3))(
+        jnp.asarray(flat), 0, rows, cols))
+    assert out.shape == (rows, cols)
+    pos = 0
+    for r in range(rows):
+        n = int(lens[r])
+        np.testing.assert_array_equal(out[r, :min(n, cols)],
+                                      dense[pos:pos + min(n, cols)])
+        pos += n
