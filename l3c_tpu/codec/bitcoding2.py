@@ -1,12 +1,12 @@
 """On-device codec (format v6): the entropy coder runs on the accelerator.
 
-Successor to codec.bitcoding (format v1, host C++ rANS): all CDF tables
+Successor to codec.bitcoding (the host C++ rANS backend, v2 byte): all CDF tables
 AND the rANS coding itself run on-device (ops.tpu_coder), so the only
 host<->device traffic is the padded image up and the compressed words
 down (and vice versa on decode). On the axon-tunneled TPU this cuts per-
 image transfer from ~170MB of mixture parameters to ~1-6MB of streams.
 
-Determinism contract (v4/v5): every FLOAT-producing stage — get_P network
+Determinism contract (since v4): every FLOAT-producing stage — get_P network
 application and per-channel table construction — is one jitted function
 shared by encode and decode AND always applied at a FIXED PHYSICAL BATCH
 `fbatch` recorded in the file header. Programs compiled at different
