@@ -97,7 +97,10 @@ def main(argv=None):
                 if flags.sample:
                     tester.sample(ts, flags.sample)
     col = {"exp": 0, "itr": 1, "testset": 2, "res": 3}[flags.sort_output]
-    rows.sort(key=lambda r: r[col])
+    if flags.sort_output == "itr":
+        rows.sort(key=lambda r: int(r[col]))  # numeric: '9' < '10', -1 last-resolved
+    else:
+        rows.sort(key=lambda r: r[col])
     for r in rows:
         table.append(*r)
     table.print()

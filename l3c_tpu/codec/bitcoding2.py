@@ -572,8 +572,11 @@ class TpuBitcoding:
                         at = fout.tell()
                         _write_unit(fout, w_b.reshape(-1, w_b.shape[-1]),
                                     l_b.reshape(-1), units_T[ui])
-                        fout.write(struct.pack("<I", MAGIC_SEP))
+                        # exclude the separator from the per-unit byte
+                        # count used by --compare_theory (framing, not
+                        # coded payload)
                         unit_bytes.append(fout.tell() - at)
+                        fout.write(struct.pack("<I", MAGIC_SEP))
                 # bpsp over the ORIGINAL (pre-pad) subpixels, matching
                 # the reference (bitcoding.py:108) — padded pixels are a
                 # codec overhead, not image content.

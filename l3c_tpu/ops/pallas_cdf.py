@@ -90,7 +90,7 @@ def build_cdf_table_pallas(pi: jnp.ndarray, mu: jnp.ndarray,
 
 
 def _fine_kernel(pi_ref, mu_ref, inv_ref, a_ref, out_ref, *, K: int,
-                 bw: float, t0: float, fine: int, M: float):
+                 bw: float, t0: float, fine: int, n_coarse: int, M: float):
     """Conditional fine-level CDF rows: per pixel, evaluate the mixture
     CDF at the fine+1 edges of the pixel's coarse bin `a` and normalize
     to the bin's mass (tpu_coder.rgb_fine_tables spec). All fine+1
@@ -109,7 +109,7 @@ def _fine_kernel(pi_ref, mu_ref, inv_ref, a_ref, out_ref, *, K: int,
     # (hi := 1), so out-of-range mass lands in the edge fine symbols
     a_col = a_ref[:, 0][:, None]
     lo = jnp.where(a_col == 0.0, 0.0, acc[:, :1])
-    hi = jnp.where(a_col == np.float32(fine - 1), 1.0, acc[:, -1:])
+    hi = jnp.where(a_col == np.float32(n_coarse - 1), 1.0, acc[:, -1:])
     denom = jnp.maximum(hi - lo, 1e-9)
     cond = (acc[:, :fine] - lo) / denom
     q = jnp.floor(jnp.clip(cond, 0.0, 1.0) * M + 0.5)
@@ -118,16 +118,18 @@ def _fine_kernel(pi_ref, mu_ref, inv_ref, a_ref, out_ref, *, K: int,
 
 def fine_cdf_quantized(pi: jnp.ndarray, mu: jnp.ndarray,
                        inv_s: jnp.ndarray, a: jnp.ndarray,
-                       bw: float, t0: float, fine: int,
+                       bw: float, t0: float, fine: int, n_coarse: int,
                        interpret: bool = None) -> jnp.ndarray:
     """(P, K) params + (P,) coarse symbols -> (P, fine) int32 quantized
-    conditional CDF (pre-monotonicity)."""
+    conditional CDF (pre-monotonicity). `n_coarse` is the coarse-bin
+    count (upper-tail absorption triggers at a == n_coarse - 1; it only
+    coincides with fine - 1 while both splits are 16)."""
     P, K = pi.shape
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     grid = (pl.cdiv(P, TILE_P),)
     kernel = functools.partial(_fine_kernel, K=K, bw=float(bw),
-                               t0=float(t0), fine=fine,
+                               t0=float(t0), fine=fine, n_coarse=n_coarse,
                                M=float(65536 - fine))
     a2 = a.reshape(P, 1).astype(jnp.float32)
     spec_pk = pl.BlockSpec((TILE_P, K), lambda i: (i, 0),

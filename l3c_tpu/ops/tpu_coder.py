@@ -497,7 +497,7 @@ def rgb_fine_tables_packed(spec, packed, c, decoded, a: jnp.ndarray,
     FINE = 1 << FINE_BITS
     if use_pallas:
         q = pallas_cdf.fine_cdf_quantized(pi, mu, inv_s, a.reshape(n),
-                                          bw, t0, FINE)
+                                          bw, t0, FINE, N_COARSE)
         q = q.at[:, 0].set(0)  # lower-tail absorption (_quantize_rows)
         q = jax.lax.cummax(q, axis=1) + jnp.arange(FINE, dtype=jnp.int32)
         return q.astype(jnp.uint16)

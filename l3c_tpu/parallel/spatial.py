@@ -129,9 +129,15 @@ def spatial_bpsp_fn(cfg: MsConfig, net: MultiscaleNetwork, mesh: Mesh,
     def shard_fn(params, img):
         idx = jax.lax.axis_index(DATA_AXIS)
         x = jax.lax.dynamic_slice_in_dim(
-            layers.sub_rgb_mean(img[0].astype(jnp.float32)),
-            idx * h, h, axis=0)[None]
-        xp = halo_exchange(x, halo)                     # (1, h+2halo, W, 3)
+            img[0].astype(jnp.float32), idx * h, h, axis=0)[None]
+        # Halo-exchange in the MEAN-SUBTRACTED domain so the zero rows the
+        # global top/bottom devices receive match the unsharded forward's
+        # zero conv padding, then restore raw [0,255] because __call__
+        # subtracts the mean itself (and derives scale-0 symbols from the
+        # raw values). Interior halos are unchanged by the +-mean round
+        # trip; only the global-edge zeros need it.
+        mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
+        xp = halo_exchange(x - mean, halo) + mean       # (1, h+2halo, W, 3)
         out = net.apply(params, xp, train=False)
         nats = _valid_nats(cfg, out, halo)
         total = jax.lax.psum(nats, DATA_AXIS)

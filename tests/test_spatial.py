@@ -6,7 +6,6 @@ import pytest
 
 from l3c_tpu import blueprint
 from l3c_tpu.config import MsConfig, EncConfig, DecConfig, QConfig, ProbConfig
-from l3c_tpu.models import layers
 from l3c_tpu.models.network import MultiscaleNetwork
 from l3c_tpu.parallel import mesh as mesh_mod
 from l3c_tpu.parallel import spatial
@@ -62,8 +61,10 @@ def test_spatial_bpsp_matches_single_device(n_dev):
 
     @jax.jit
     def single(params, x):
-        out = net.apply(params, layers.sub_rgb_mean(
-            x.astype(jnp.float32)), train=False)
+        # canonical raw-[0,255] forward — __call__ subtracts the RGB mean
+        # itself; pre-subtracting here would mask a double-subtraction in
+        # the spatial path (round-2 advisor finding)
+        out = net.apply(params, x.astype(jnp.float32), train=False)
         return blueprint.total_bpsp(blueprint.compute_loss(cfg, out))
 
     ref = float(single(params, jnp.asarray(img)))
