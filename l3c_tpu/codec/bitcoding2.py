@@ -31,11 +31,23 @@ Scale coding structure (per image, one file "unit" per line):
     bn scales:       ONE unit, all q.C channels fused
     RGB scales:      TWO units (two-level coding): 16-ary coarse
                      symbols, then 16-ary fine symbols conditioned on
-                     the decoded coarse bin — 17+17 CDF edges per pixel
-                     instead of 256 (ops.tpu_coder.rgb_*_tables)
+                     the decoded coarse bin
 
-File format v6 (same layout as v5; tables pin CDF edge 0 to 0):
-  magic 'L3TP' | version=6 u8 | num_scales u8 | fbatch u8
+v7 table spec: per-edge independent quantization (floor + 2l slack, no
+cummax — ops.tpu_coder module docstring). Encode and decode build CDF
+rows through the SAME standalone jitted builder programs at the same
+fbatch shapes — the only sound float contract: evaluating the same
+expression in differently-fused programs measurably diverges by 1 ulp
+and flips floor() at quantization boundaries (RESULTS.md round 3). A
+canary table computed from fixed synthetic params by the same programs
+is stamped into every file header; decode recomputes it and rejects
+the file BEFORE emitting corrupt pixels if the platform/XLA build
+lowers the coder numerics differently (the TPU-format analogue of the
+host v2 format's evaluator-variant byte, ops/csrc/l3c_coder.cpp).
+
+File format v7:
+  magic 'L3TP' | version=7 u8 | num_scales u8 | fbatch u8
+  | flags u8 (reserved, 0) | canary u32
   | padL,padR,padT,padB u16*4 | padded H u16 | W u16
   per unit: T u16 | n_streams u32
             | length block (mode u8: 0 = base u16 + u8 deltas,
@@ -125,10 +137,66 @@ def _unpad_dev(flat: jnp.ndarray, hdr_off, rows: int, cols: int
         lambda o: jax.lax.dynamic_slice(flat, (o,), (cols,)))(offs)
 
 
-class TpuBitcoding:
-    """Encode/decode images with the fully on-device coder (format v5)."""
+_CANARY_CACHE = {}
 
-    VERSION = 6  # v6 = v5 layout with lower-tail-absorbing tables
+
+def contract_canary(rgb_spec, bn_spec, C_bn: int, K: int) -> int:
+    """u32 attestation that THIS process's XLA build lowers the shared
+    v7 coder numerics the same way as the encoder's did.
+
+    Runs the real builder/lookup functions on fixed synthetic params
+    (tails included) in one tiny jitted program — covering the decode
+    row builders AND the encode 2-edge lookups — and CRC32s the
+    quantized outputs. Stamped into every v7 header; checked before any
+    pixel is emitted on decode."""
+    import zlib
+    from ..ops import tpu_coder as _tc
+    key = (rgb_spec, bn_spec, C_bn, K)
+    if key not in _CANARY_CACHE:
+        n_h, n_w = 4, 32                       # 128 canary pixels
+        rs = np.random.RandomState(0x13C7)
+
+        def params(C):
+            raw = rs.randn(1, n_h, n_w, C, K).astype(np.float32)
+            e = np.exp(raw * 2.0)
+            pi = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+            span = 1.5 * (rgb_spec.x_max - rgb_spec.x_min)
+            mu = (rs.uniform(rgb_spec.x_min - 0.25 * span,
+                             rgb_spec.x_max + 0.25 * span,
+                             (1, n_h, n_w, C, K)).astype(np.float32))
+            inv_s = np.exp(rs.uniform(-2, 7, (1, n_h, n_w, C, K))
+                           ).astype(np.float32)
+            lam = rs.uniform(0, 1, (1, n_h, n_w, C, K)
+                             ).astype(np.float32)
+            return pi, mu, inv_s, lam
+
+        packed_rgb = params(3)
+        packed_bn = params(C_bn)
+        t_rgb = rs.randint(0, 256, (1, n_h, n_w, 3)).astype(np.int32)
+
+        def canary_fn():
+            tf = t_rgb.astype(np.float32)
+            a1 = jnp.asarray(
+                (t_rgb[..., 1] >> _tc.FINE_BITS).reshape(-1))
+            return (
+                _tc.rgb_coarse_tables_packed(rgb_spec, packed_rgb, 1,
+                                             jnp.asarray(tf)),
+                _tc.rgb_fine_tables_packed(rgb_spec, packed_rgb, 1,
+                                           jnp.asarray(tf), a1),
+                _tc.mixture_tables_all_channels_packed(
+                    bn_spec, packed_bn, C_bn, None),
+            )
+
+        outs = jax.jit(canary_fn)()
+        blob = b"".join(np.asarray(o).tobytes() for o in outs)
+        _CANARY_CACHE[key] = zlib.crc32(blob) & 0xFFFFFFFF
+    return _CANARY_CACHE[key]
+
+
+class TpuBitcoding:
+    """Encode/decode images with the fully on-device coder (format v7)."""
+
+    VERSION = 7  # v7 = 2-edge encode spec (floor + 2l slack) + canary
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  times=None, device=None, coder_profile=None):
@@ -161,10 +229,13 @@ class TpuBitcoding:
                                  static_argnums=(2,))
         # float view of the RGB target for the table builders (the image
         # is uploaded ONCE as uint8; float32/int32 views never cross the
-        # host link — coarse/fine splitting happens inside the fused
-        # encode program)
+        # host link)
         self._tf_of = jax.jit(lambda t: t.astype(jnp.float32))
         self._to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
+        # per-channel flattened coarse symbols for the fine builders
+        self._coarse_of = jax.jit(lambda t: tuple(
+            (t[..., c].astype(jnp.int32) >> tc.FINE_BITS).reshape(-1)
+            for c in range(3)))
         self._sub_mean = jax.jit(
             lambda x: x - jnp.asarray(255.0 * layers.RGB_MEAN,
                                       jnp.float32))
@@ -176,10 +247,6 @@ class TpuBitcoding:
         # stays a traced scalar so content-dependent offsets never
         # trigger recompiles.
         self._unpad_unit = jax.jit(_unpad_dev, static_argnums=(2, 3))
-        # per-channel flattened coarse symbols for the fine builders
-        self._coarse_of = jax.jit(lambda t: tuple(
-            (t[..., c].astype(jnp.int32) >> tc.FINE_BITS).reshape(-1)
-            for c in range(3)))
         # get_P + pack_coder_params in ONE shared program per scale:
         # the builders consume pre-packed (pi, mu, inv_s, lam) so the
         # softmax/exp over every channel's mixture params runs once per
@@ -198,13 +265,6 @@ class TpuBitcoding:
                                                               decF, s))
             for s in range(cfg.num_scales)
         }
-        # Table-builder implementation: fused Pallas kernels or plain
-        # XLA. The ACTIVE choice is stamped into every file's header
-        # flags (bit 0) and decode replays the file's choice, so both
-        # sides always evaluate float tables through the same program
-        # (v5 determinism contract).
-        from ..ops import pallas_cdf
-        self.use_pallas = pallas_cdf.pallas_cdf_enabled()
         self._builder_cache = {}
         # per-unit-geometry predicted fetch widths (optimistic single-
         # transfer fetch; see encode_batch_async)
@@ -213,30 +273,28 @@ class TpuBitcoding:
         self.coder_profile = coder_profile
         self._init_coder_jits()
 
-    def _builders(self, use_pallas: bool):
-        """Jitted batched table builders for one implementation:
-        l (F,h,w,Kp) [+ decoded (F,h,w,C)] -> rows grouped channel-
-        major/batch-minor, ready for the scans."""
-        if use_pallas not in self._builder_cache:
+    def _builders(self):
+        """Jitted batched DECODE-side table builders: packed scale
+        params [+ decoded (F,h,w,C)] -> uint16 rows grouped channel-
+        major/batch-minor, ready for the scans. (Encode needs no rows
+        since v7 — see the edge-lookup programs in _init_coder_jits.)"""
+        if not self._builder_cache:
             cfg = self.cfg
-            self._builder_cache[use_pallas] = dict(
+            self._builder_cache = dict(
                 bn=jax.jit(
-                    lambda pk, up=use_pallas:
-                        tc.mixture_tables_all_channels_packed(
-                            self._bn, pk, cfg.q.C, None, use_pallas=up)),
+                    lambda pk: tc.mixture_tables_all_channels_packed(
+                        self._bn, pk, cfg.q.C, None)),
                 coarse={
-                    c: jax.jit(lambda pk, dec, c=c, up=use_pallas:
+                    c: jax.jit(lambda pk, dec, c=c:
                                tc.rgb_coarse_tables_packed(
-                                   self._rgb, pk, c, dec,
-                                   use_pallas=up))
+                                   self._rgb, pk, c, dec))
                     for c in range(3)},
                 fine={
-                    c: jax.jit(lambda pk, dec, a, c=c, up=use_pallas:
+                    c: jax.jit(lambda pk, dec, a, c=c:
                                tc.rgb_fine_tables_packed(
-                                   self._rgb, pk, c, dec, a,
-                                   use_pallas=up))
+                                   self._rgb, pk, c, dec, a))
                     for c in range(3)})
-        return self._builder_cache[use_pallas]
+        return self._builder_cache
 
     def _init_coder_jits(self):
         # ---- integer coder jits (side-specific; exact by construction).
@@ -264,15 +322,20 @@ class TpuBitcoding:
                 words, L, tc.layout_for(n, G, T)),
             static_argnums=(1, 2, 3, 4))
 
-        def enc_bn_unit(tables, syms_nhwc, L, T):
-            # (F,h,w,C) bottleneck syms -> one fused group+encode program
-            return tc.encode_channels(tables, _group_syms(syms_nhwc), L,
-                                      tc.layout_for(
-                                          syms_nhwc.shape[1]
-                                          * syms_nhwc.shape[2],
-                                          syms_nhwc.shape[0]
-                                          * syms_nhwc.shape[3], T))
-        self._enc_bn_unit = jax.jit(enc_bn_unit, static_argnums=(2, 3))
+        def enc_bn_unit(tables, syms_nhwc, T):
+            # (F,h,w,C) bottleneck syms -> one fused group+encode program.
+            # Tables come from the SAME standalone builder programs the
+            # decoder dispatches — the only sound float contract: the
+            # 2-edge-lookup design (evaluating the shared expression in
+            # a different program) measurably diverges by 1 ulp in fused
+            # contexts and flips floor() at quantization boundaries
+            # (~1e-3 of symbols at 64x64 on CPU XLA) — see RESULTS.md
+            # round 3, "cross-program float divergence".
+            F, h, w, C = syms_nhwc.shape
+            return tc.encode_channels(tables, _group_syms(syms_nhwc),
+                                      self._bn.L,
+                                      tc.layout_for(h * w, C * F, T))
+        self._enc_bn_unit = jax.jit(enc_bn_unit, static_argnums=(2,))
 
         def dec_uni_unit(flat, off, T, h, w, F, C, L, cols, baseline):
             rows = C * F * tc.layout_for(h * w, 1, T).ns_c
@@ -329,10 +392,11 @@ class TpuBitcoding:
 
         def enc_rgb_units(cts, fts, target, T):
             # both scale-0/RGB units (coarse + fine) in ONE program:
-            # split, table concat, symbol grouping, and the two scans
+            # split, table concat, symbol grouping, and the two scans.
+            # (Same sound-contract note as enc_bn_unit: tables come from
+            # the standalone builder programs shared with decode.)
             F, h, w, _ = target.shape
-            n = h * w
-            lay = tc.layout_for(n, 3 * F, T)
+            lay = tc.layout_for(h * w, 3 * F, T)
             a = target.astype(jnp.int32) >> tc.FINE_BITS
             bsym = (target.astype(jnp.int32)
                     & ((1 << tc.FINE_BITS) - 1))
@@ -344,6 +408,10 @@ class TpuBitcoding:
                                         1 << tc.FINE_BITS, lay)
             return wc, lc, wf, lf
         self._enc_rgb_units = jax.jit(enc_rgb_units, static_argnums=(3,))
+
+    def _canary(self) -> int:
+        return contract_canary(self._rgb, self._bn, self.cfg.q.C,
+                               self.cfg.prob.K)
 
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
         if self._device is not None:
@@ -458,7 +526,7 @@ class TpuBitcoding:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
                 n = target.shape[1] * target.shape[2]
-                bld = self._builders(self.use_pallas)
+                bld = self._builders()
                 with self.times.run("tables+rans"):
                     T_u = tc.t_policy(n, self.coder_profile)
                     if scale == 0 or baseline:
@@ -484,7 +552,7 @@ class TpuBitcoding:
                     else:
                         tables = bld["bn"](ls)
                         units.append(self._enc_bn_unit(
-                            tables, target, self._bn.L, T_u))
+                            tables, target, T_u))
                         units_C.append(C_bn)
                         units_T.append(T_u)
                 _sync(units[-1][0])
@@ -558,9 +626,9 @@ class TpuBitcoding:
                 unit_bytes = []
                 with open(pout, "wb") as fout:
                     fout.write(MAGIC)
-                    flags = 1 if self.use_pallas else 0
                     fout.write(struct.pack("<BBBB", self.VERSION, S, F,
-                                           flags))
+                                           0))
+                    fout.write(struct.pack("<I", self._canary()))
                     fout.write(struct.pack("<4H", *pad_tuples[b]))
                     fout.write(struct.pack("<HH", H, W))
                     for ui, (words, lens) in enumerate(
@@ -639,11 +707,15 @@ class TpuBitcoding:
             raise DecodeError(
                 f"decoding {B} files of fbatch {F} together would change "
                 f"float programs; decode in groups of <= {F}")
-        pallas_set = {hdr["pallas"] for hdr in headers}
-        if len(pallas_set) != 1:
-            raise DecodeError("decode_batch needs files with one table-"
-                              "builder implementation")
-        bld = self._builders(pallas_set.pop())
+        want = self._canary()
+        for pin, hdr in zip(pins, headers):
+            if hdr["canary"] != want:
+                raise DecodeError(
+                    f"{pin}: coder-numerics canary mismatch (file "
+                    f"{hdr['canary']:#010x}, this build {want:#010x}) — "
+                    "the file was encoded under a different XLA build/"
+                    "platform lowering; decoding would corrupt pixels")
+        bld = self._builders()
 
         C_bn = self.cfg.q.C
 
@@ -870,10 +942,13 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
         if version != TpuBitcoding.VERSION:
             raise DecodeError(f"file is format v{version}; this is "
                               f"the v{TpuBitcoding.VERSION} (TPU) decoder")
+        if flags != 0:
+            raise DecodeError(f"unknown v7 flags {flags:#x}")
         if S != expect_scales:
             raise DecodeError("scale count mismatch")
         if F not in FBATCHES:
             raise DecodeError(f"bad fbatch {F}")
+        canary, = struct.unpack("<I", fin.read(4))
         pad_tuple = struct.unpack("<4H", fin.read(8))
         H, W = struct.unpack("<HH", fin.read(4))
         units = []
@@ -881,7 +956,7 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
             units.append(_read_unit(fin))
             _expect_sep(fin)
     return {"S": S, "H": H, "W": W, "F": F, "pad": pad_tuple,
-            "pallas": bool(flags & 1)}, units
+            "canary": canary}, units
 
 
 def _expect_sep(fin):

@@ -8,14 +8,14 @@ K-component sigmoid mixture and quantizing to fixed point in one pass —
 no (P, K, L) intermediate ever touches HBM.
 
     cdf(p, l)  = sum_k pi[p,k] * sigmoid((t_l - mu[p,k]) * inv_s[p,k])
-    q(p, l)    = floor(min(cdf,1) * (65536 - L) + 0.5)
+    q(p, l)    = floor(clip(cdf, 0, 1) * (65536 - 2L))
 
-The (cheap, integer) cummax + arange monotonicity finish runs in XLA
-afterwards (ops.tpu_coder.build_cdf_table spec). Use via
-`build_cdf_table_pallas`, or transparently through
-`tpu_coder.build_cdf_table` when L3C_PALLAS_CDF=1: encode and decode
-always select the same implementation, which is all the determinism the
-format-v2 contract needs.
+The (cheap, integer) + 2l / edge-0 pin finish runs in XLA afterwards
+(ops.tpu_coder v7 table spec). Since format v7 these kernels are a
+BENCH-ONLY A/B path (L3C_PALLAS_CDF never affects the codec): they
+measured 2.5-4.5x slower than XLA's own fusion on the real chip, and
+the v7 encoder needs no row tables at all. Kept for microbenching and
+as the starting point if a future chip shifts the balance.
 
 On non-TPU backends the kernel runs in interpret mode (tests compare it
 against the pure-XLA path).
@@ -40,7 +40,7 @@ def _kernel(t_ref, pi_ref, mu_ref, inv_ref, out_ref, *, K: int, M: float):
     for k in range(K):                # K is small and static: unrolled
         z = (t - mu_ref[:, k][:, None]) * inv_ref[:, k][:, None]
         acc = acc + pi_ref[:, k][:, None] * jax.nn.sigmoid(z)
-    q = jnp.floor(jnp.minimum(acc, 1.0) * M + 0.5)
+    q = jnp.floor(jnp.clip(acc, 0.0, 1.0) * M)
     out_ref[:] = q.astype(jnp.int32)
 
 
@@ -53,7 +53,7 @@ def mixture_cdf_quantized(pi: jnp.ndarray, mu: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     grid = (pl.cdiv(P, TILE_P),)
     t2 = jnp.asarray(targets, jnp.float32).reshape(1, L)
-    kernel = functools.partial(_kernel, K=K, M=float(65536 - L))
+    kernel = functools.partial(_kernel, K=K, M=float(65536 - 2 * L))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -84,8 +84,8 @@ def build_cdf_table_pallas(pi: jnp.ndarray, mu: jnp.ndarray,
     lvals = np.arange(L, dtype=np.float32)
     targets = lvals * np.float32(bin_w) + np.float32(x_min - bin_w / 2.0)
     q = mixture_cdf_quantized(flat(pi), flat(mu), flat(inv_s), targets, L)
-    q = q.at[:, 0].set(0)  # lower-tail absorption (tpu_coder spec)
-    q = jax.lax.cummax(q, axis=1) + jnp.arange(L, dtype=jnp.int32)
+    l_idx = jnp.arange(L, dtype=jnp.int32)
+    q = jnp.where(l_idx == 0, 0, q + 2 * l_idx)  # v7 spec finish
     return q.astype(jnp.uint16).reshape(*lead, L)
 
 
@@ -112,7 +112,7 @@ def _fine_kernel(pi_ref, mu_ref, inv_ref, a_ref, out_ref, *, K: int,
     hi = jnp.where(a_col == np.float32(n_coarse - 1), 1.0, acc[:, -1:])
     denom = jnp.maximum(hi - lo, 1e-9)
     cond = (acc[:, :fine] - lo) / denom
-    q = jnp.floor(jnp.clip(cond, 0.0, 1.0) * M + 0.5)
+    q = jnp.floor(jnp.clip(cond, 0.0, 1.0) * M)
     out_ref[:] = q.astype(jnp.int32)
 
 
@@ -130,7 +130,7 @@ def fine_cdf_quantized(pi: jnp.ndarray, mu: jnp.ndarray,
     grid = (pl.cdiv(P, TILE_P),)
     kernel = functools.partial(_fine_kernel, K=K, bw=float(bw),
                                t0=float(t0), fine=fine, n_coarse=n_coarse,
-                               M=float(65536 - fine))
+                               M=float(65536 - 2 * fine))
     a2 = a.reshape(P, 1).astype(jnp.float32)
     spec_pk = pl.BlockSpec((TILE_P, K), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -154,20 +154,15 @@ def coarse_cdf_quantized(pi, mu, inv_s, edges: np.ndarray, L: int
     return mixture_cdf_quantized(pi, mu, inv_s, edges, L)
 
 
-# Tri-state switch: "1" force on, "0" force off, unset = auto (on when
-# the runtime targets a real TPU backend). The active choice is recorded
-# in every v5 file header (flags bit 0) so encode and decode always
-# evaluate tables through the same implementation — the same role as the
-# v1 header's evaluator-variant byte.
 def pallas_cdf_enabled() -> bool:
-    """Opt-in (L3C_PALLAS_CDF=1). Default OFF everywhere: the A/B device
-    microbench (tools/microbench.py, real v5e chip, batch-8 512^2) puts
-    the fused Pallas table builders at 2.5-4.5x SLOWER than XLA's own
-    fusion of the same ops (coarse x3 113ms vs 44ms, fine x3 137ms vs
-    49ms, bn 74ms vs 16ms) — XLA already fuses the (K x L) sigmoid
+    """Opt-in (L3C_PALLAS_CDF=1); read by tools/microbench.py A/B runs
+    only — since format v7 the codec never uses the Pallas builders.
+    Default OFF: the device microbench (real v5e chip, batch-8 512^2)
+    put the fused Pallas table builders at 2.5-4.5x SLOWER than XLA's
+    own fusion of the same ops (coarse x3 113ms vs 44ms, fine x3 137ms
+    vs 49ms, bn 74ms vs 16ms) — XLA already fuses the (K x L) sigmoid
     mixture evaluation into one HBM pass, and the hand blocking loses
-    to it. The v5 header records the builder per file, so files made
-    with either setting decode bit-exactly with either default."""
+    to it."""
     v = os.environ.get("L3C_PALLAS_CDF")
     if v is not None:
         return v == "1"

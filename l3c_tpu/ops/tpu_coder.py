@@ -26,12 +26,26 @@ runs on the TPU:
   channel slices sequentially for the lambda conditioning.
 - Only the compressed words + per-stream lengths cross the host link.
 
-Table spec (format v2): for L symbols, row entries l = 0..L-1:
-    CQ(l) = cummax_l( round(cdf(t_l) * (65536 - L)) ) + l
-with the implicit top 65536 for symbol L-1. Strictly increasing (the +l
-term), so freq >= 1 always; cummax makes monotonicity unconditional
-without needing a monotone float evaluator (cf. the host backend's
-provably-monotone sigmoid — here the table is computed once and shared).
+Table spec (format v7): for L symbols, edge entries l = 0..L:
+    Q(0) = 0                      (lower-tail absorption)
+    Q(l) = floor( clip(C(t_l), 0, 1) * (65536 - 2L) ) + 2l,  0 < l < L
+    Q(L) = 65536 implicit         (upper-tail absorption)
+where C is `edge_cdf`, the shared mixture-CDF evaluator (fixed-order
+accumulation, single-path sigmoid). The +2l slack makes every row
+STRICTLY increasing without a cummax as long as the float evaluator is
+monotone to within 1/(65536-2L) ~ 1.5e-5 between adjacent edges — far
+looser than any real sigmoid wobble, and each edge depends only on its
+own C(t_l) (no cross-edge coupling).
+
+Determinism boundary (measured, round 3): the same float expression
+evaluated in two DIFFERENTLY-FUSED programs can differ by 1 ulp and
+flip floor() at a quantization boundary (~1e-3 of symbols on CPU XLA),
+so encode and decode must obtain row values from the SAME standalone
+jitted builder programs — a per-symbol 2-edge float lookup in a
+separate program is NOT sound. The per-edge-independent spec still
+pays: it needs no cummax, and it admits an exactly-reproducible
+integer realization (any pure integer function of quantized params is
+program-shape-independent by construction).
 """
 from __future__ import annotations
 
@@ -142,35 +156,65 @@ def _mask_for(lay: StreamLayout) -> np.ndarray:
 # --------------------------------------------------------------- tables
 
 
+def edge_cdf(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
+             t: jnp.ndarray) -> jnp.ndarray:
+    """Mixture CDF C(t) at edge targets t (..., E); params (..., K).
+
+    The v7 float evaluator: fixed-order chained accumulation and
+    jax.nn.sigmoid. NOTE it is only deterministic WITHIN one jitted
+    program (or across dispatches of the same program at the same
+    shapes): XLA's fusion-dependent codegen makes identical expression
+    DAGs differ by 1 ulp across differently-shaped programs (measured;
+    module docstring). Hence encode and decode share the builder
+    PROGRAMS, not just this expression; the v7 file canary attests the
+    build still lowers those programs identically.
+    """
+    K = pi.shape[-1]
+
+    def term(k):
+        z = (t - mu[..., k:k + 1]) * inv_s[..., k:k + 1]
+        return pi[..., k:k + 1] * jax.nn.sigmoid(z)
+
+    acc = term(0)
+    for k in range(1, K):
+        acc = acc + term(k)
+    return acc
+
+
+def edge_quantize(c: jnp.ndarray, l_idx: jnp.ndarray, L: int
+                  ) -> jnp.ndarray:
+    """v7 edge quantization: Q(l) for float CDF value c at edge l.
+
+    l_idx int32 (data-dependent on encode, iota on decode). Returns
+    int32 in [0, 65536]."""
+    M = np.float32(65536 - 2 * L)
+    q = (jnp.floor(jnp.clip(c, 0.0, 1.0) * M).astype(jnp.int32)
+         + 2 * l_idx)
+    q = jnp.where(l_idx <= 0, 0, q)
+    return jnp.where(l_idx >= L, 65536, q)
+
+
 def build_cdf_table(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
                     x_min: float, bin_w: float, L: int,
                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Quantized CDF rows from mixture params.
+    """Quantized CDF rows from mixture params (decode side).
 
     pi, mu, inv_s: (..., K) float32 (pi softmaxed, inv_s=exp(-log_s)).
-    Returns (..., L) uint16 rows per the format-v2 table spec. Stays in
-    HBM; XLA fuses the (K x L) evaluation per pixel, or the fused Pallas
-    kernel does it explicitly when L3C_PALLAS_CDF=1 (encode and decode
-    pick the same path, preserving the shared-table contract).
+    Returns (..., L) uint16 rows per the v7 table spec. Stays in HBM;
+    XLA fuses the (K x L) evaluation per pixel. use_pallas selects the
+    fused Pallas kernel — a bench-only A/B path since v7 (it measured
+    2.5-4.5x slower than XLA fusion and its floats are not
+    edge_cdf-identical, so the codec no longer accepts it).
     """
     from . import pallas_cdf
-    if use_pallas is None:
-        use_pallas = pallas_cdf.pallas_cdf_enabled()
     if use_pallas:
-        # (lower-tail pin applied inside build_cdf_table_pallas)
         return pallas_cdf.build_cdf_table_pallas(pi, mu, inv_s, x_min,
                                                  bin_w, L)
-    lvals = np.arange(L, dtype=np.float32)
-    t = jnp.asarray(lvals * np.float32(bin_w)
-                    + np.float32(x_min - bin_w / 2.0))       # (L,) edges
-    z = (t - mu[..., None]) * inv_s[..., None]               # (...,K,L)
-    c = jnp.sum(pi[..., None] * jax.nn.sigmoid(z), axis=-2)  # (...,L)
-    M = np.float32(65536 - L)
-    q = jnp.floor(jnp.minimum(c, 1.0) * M + 0.5).astype(jnp.int32)
-    q = q.at[..., 0].set(0)  # lower-tail absorption (see _quantize_rows)
-    q = jax.lax.cummax(q, axis=q.ndim - 1)
-    q = q + jnp.arange(L, dtype=jnp.int32)
-    return q.astype(jnp.uint16)
+    t = (jnp.arange(L, dtype=jnp.float32) * np.float32(bin_w)
+         + np.float32(x_min - bin_w / 2.0))                  # (L,) edges
+    c = edge_cdf(pi, mu, inv_s, t)                           # (..., L)
+    return edge_quantize(c, jnp.arange(L, dtype=jnp.int32), L)\
+        .astype(jnp.uint16)
 
 
 def uniform_cdf_row(L: int) -> np.ndarray:
@@ -382,14 +426,8 @@ FINE_BITS = 4
 N_COARSE = 16  # 256 >> FINE_BITS
 
 
-def _mixture_cdf_at(pi, mu, inv_s, t):
-    """C(t) for per-pixel edge vectors t (..., E); params (..., K)."""
-    z = (t[..., None, :] - mu[..., None]) * inv_s[..., None]
-    return jnp.sum(pi[..., None] * jax.nn.sigmoid(z), axis=-2)
-
-
 def _quantize_rows(c: jnp.ndarray, L: int) -> jnp.ndarray:
-    """float CDF rows (..., L) -> uint16 per the table spec.
+    """float CDF rows (..., L) -> uint16 per the v7 table spec.
 
     Column 0 is PINNED to 0: symbol 0 absorbs the open lower tail, the
     implicit 65536 top gives symbol L-1 the upper tail — matching the
@@ -398,12 +436,11 @@ def _quantize_rows(c: jnp.ndarray, L: int) -> jnp.ndarray:
     DMLL's open-tail bitcost. Without the pin, a confident model that
     pushes mu below x_min (how DMLL expresses "x = x_min") leaves ~all
     mass BELOW edge 0 and the true symbol got freq 1 => 16 bits against
-    a ~0-bit theory cost (observed +108% file size on a dark image)."""
-    M = np.float32(65536 - L)
-    q = jnp.floor(jnp.clip(c, 0.0, 1.0) * M + 0.5).astype(jnp.int32)
-    q = q.at[..., 0].set(0)
-    q = jax.lax.cummax(q, axis=q.ndim - 1)
-    return (q + jnp.arange(L, dtype=jnp.int32)).astype(jnp.uint16)
+    a ~0-bit theory cost (observed +108% file size on a dark image).
+    The +2l slack (no cummax) is what lets the encoder skip building
+    rows entirely — see the module-docstring spec."""
+    return edge_quantize(c, jnp.arange(L, dtype=jnp.int32), L)\
+        .astype(jnp.uint16)
 
 
 def _channel_params_packed(spec, packed, c, decoded):
@@ -449,26 +486,31 @@ def rgb_coarse_tables_packed(spec, packed, c, decoded,
     """(n, 16) uint16 coarse tables for channel c from PACKED params.
 
     use_pallas selects the fused Pallas evaluation of the 16 coarse
-    edges (None = pallas_cdf.pallas_cdf_enabled()). The choice is part
-    of the determinism contract: files record it in the header flags
-    and decode replays the same implementation."""
-    from . import pallas_cdf
-    if use_pallas is None:
-        use_pallas = pallas_cdf.pallas_cdf_enabled()
-    pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
-    bw = np.float32(spec.bin_width)
-    t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
-    edges_np = ((np.arange(N_COARSE) << FINE_BITS).astype(np.float32)
-                * bw + t0)
+    edges — since v7 a bench-only A/B path (its floats are not
+    edge_cdf-identical; the codec always uses the XLA path)."""
     if use_pallas:
+        from . import pallas_cdf
+        pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
+        bw = np.float32(spec.bin_width)
+        t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
+        edges_np = ((np.arange(N_COARSE) << FINE_BITS)
+                    .astype(np.float32) * bw + t0)
         q = pallas_cdf.coarse_cdf_quantized(pi, mu, inv_s, edges_np,
                                             N_COARSE)
-        q = q.at[:, 0].set(0)  # lower-tail absorption (_quantize_rows)
-        q = jax.lax.cummax(q, axis=1) + jnp.arange(N_COARSE, dtype=jnp.int32)
+        l_idx = jnp.arange(N_COARSE, dtype=jnp.int32)
+        q = jnp.where(l_idx == 0, 0, q + 2 * l_idx)
         return q.astype(jnp.uint16)
-    cvals = _mixture_cdf_at(pi, mu, inv_s, jnp.broadcast_to(
-        jnp.asarray(edges_np), (pi.shape[0], N_COARSE)))
+    pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
+    cvals = edge_cdf(pi, mu, inv_s, _coarse_edge_targets(spec))
     return _quantize_rows(cvals, N_COARSE)
+
+
+def _coarse_edge_targets(spec) -> jnp.ndarray:
+    """(N_COARSE,) float32 coarse edge targets t_{16a} (shared
+    expression: integer-valued f32 edge index * bin_width + t0)."""
+    e = jnp.arange(N_COARSE, dtype=jnp.float32) * np.float32(1 << FINE_BITS)
+    return (e * np.float32(spec.bin_width)
+            + np.float32(spec.x_min - spec.bin_width / 2.0))
 
 
 def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray,
@@ -485,38 +527,46 @@ def rgb_fine_tables_packed(spec, packed, c, decoded, a: jnp.ndarray,
                            ) -> jnp.ndarray:
     """(n, 16) uint16 fine tables conditional on coarse symbols a (n,).
 
-    use_pallas: fused Pallas kernel for the 17-edge conditional rows
-    (same contract note as rgb_coarse_tables_packed)."""
-    from . import pallas_cdf
-    if use_pallas is None:
-        use_pallas = pallas_cdf.pallas_cdf_enabled()
+    use_pallas: fused Pallas kernel for the 17-edge conditional rows —
+    since v7 a bench-only A/B path (see rgb_coarse_tables_packed)."""
     pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
     n = pi.shape[0]
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
     FINE = 1 << FINE_BITS
     if use_pallas:
+        from . import pallas_cdf
         q = pallas_cdf.fine_cdf_quantized(pi, mu, inv_s, a.reshape(n),
                                           bw, t0, FINE, N_COARSE)
-        q = q.at[:, 0].set(0)  # lower-tail absorption (_quantize_rows)
-        q = jax.lax.cummax(q, axis=1) + jnp.arange(FINE, dtype=jnp.int32)
+        l_idx = jnp.arange(FINE, dtype=jnp.int32)
+        q = jnp.where(l_idx == 0, 0, q + 2 * l_idx)
         return q.astype(jnp.uint16)
     k = jnp.arange(FINE + 1, dtype=jnp.float32)               # 0..16
     base = (a.reshape(n).astype(jnp.float32)
             * np.float32(1 << FINE_BITS))
     t = (base[:, None] + k) * bw + t0                         # (n, 17)
-    cvals = _mixture_cdf_at(pi, mu, inv_s, t)                 # (n, 17)
-    # Tail absorption in the CONDITIONAL too: the first coarse bin's
-    # window opens at -inf (C := 0) and the last closes at +inf
-    # (C := 1), so mass the model places outside [x_min, x_max] lands
-    # in the edge fine symbols instead of being normalized away — the
-    # exact conditional counterpart of _quantize_rows' row[0] pin.
-    af = a.reshape(n, 1)
-    lo = jnp.where(af == 0, 0.0, cvals[:, :1])
-    hi = jnp.where(af == N_COARSE - 1, 1.0, cvals[:, -1:])
-    denom = jnp.maximum(hi - lo, 1e-9)
-    cond = (cvals[:, :FINE] - lo) / denom
+    cvals = edge_cdf(pi, mu, inv_s, t)                        # (n, 17)
+    cond = _fine_conditional(cvals[:, :FINE], cvals[:, :1],
+                             cvals[:, -1:], a.reshape(n, 1))
     return _quantize_rows(cond, FINE)
+
+
+def _fine_conditional(c_e, c_lo, c_hi, a):
+    """Conditional CDF values for fine edges given raw mixture-CDF
+    values: c_e the edge values, (c_lo, c_hi) the enclosing coarse-bin
+    edges, a the coarse symbols (broadcastable int).
+
+    Tail absorption in the CONDITIONAL too: the first coarse bin's
+    window opens at -inf (C := 0) and the last closes at +inf (C := 1),
+    so mass the model places outside [x_min, x_max] lands in the edge
+    fine symbols instead of being normalized away — the exact
+    conditional counterpart of _quantize_rows' edge-0 pin. Shared
+    expression between decode's 17-edge rows and encode's 2-edge
+    lookups (edge_quantize clips, so no clip here)."""
+    lo = jnp.where(a == 0, 0.0, c_lo)
+    hi = jnp.where(a == N_COARSE - 1, 1.0, c_hi)
+    denom = jnp.maximum(hi - lo, 1e-9)
+    return (c_e - lo) / denom
 
 
 # ----------------------------------------------- mixture-scale helpers
@@ -552,17 +602,25 @@ def mixture_tables_for_channel_packed(
         else:
             mu_c = (mu_c + lam[..., 1, :] * decoded[..., 0:1]
                     + lam[..., 2, :] * decoded[..., 1:2])
-    pi_c, inv_c = pi[..., c, :], inv_s[..., c, :]
+    pi_c, mu_c, inv_c = _maybe_topk(pi[..., c, :], mu_c,
+                                    inv_s[..., c, :])
+    table = build_cdf_table(pi_c, mu_c, inv_c,
+                            spec.x_min, spec.bin_width, spec.L,
+                            use_pallas=use_pallas)
+    return table.reshape(-1, spec.L)
+
+
+def _maybe_topk(pi_c, mu_c, inv_c):
+    """Optional top-K mixture truncation (CODER_TOPK; default off).
+    Shared by the decode-row builder and the encode edge lookup so both
+    sides code against the same truncated distribution."""
     K = pi_c.shape[-1]
     if CODER_TOPK and K > CODER_TOPK:
         top_pi, idx = jax.lax.top_k(pi_c, CODER_TOPK)
         pi_c = top_pi / jnp.sum(top_pi, axis=-1, keepdims=True)
         mu_c = jnp.take_along_axis(mu_c, idx, axis=-1)
         inv_c = jnp.take_along_axis(inv_c, idx, axis=-1)
-    table = build_cdf_table(pi_c, mu_c, inv_c,
-                            spec.x_min, spec.bin_width, spec.L,
-                            use_pallas=use_pallas)
-    return table.reshape(-1, spec.L)
+    return pi_c, mu_c, inv_c
 
 
 def mixture_tables_all_channels(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,

@@ -99,6 +99,24 @@ def test_v2_corrupt_stream_raises(setup, tmp_path):
         bc.decode(bad)
 
 
+def test_v7_canary_mismatch_raises(setup, tmp_path):
+    """The v7 header canary attests the coder numerics: a file whose
+    canary doesn't match this build must be rejected BEFORE any pixel is
+    emitted (the cross-platform safety the VERDICT asked for)."""
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    img = _rand_img(16, 16, seed=21)
+    p = str(tmp_path / "img.l3c")
+    bc.encode(img, p)
+    blob = bytearray(open(p, "rb").read())
+    blob[8] ^= 0xFF  # canary u32 lives at bytes 8..11 (after magic+BBBB)
+    bad = str(tmp_path / "bad_canary.l3c")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(DecodeError, match="canary"):
+        bc.decode(bad)
+    np.testing.assert_array_equal(bc.decode(p), img)  # original fine
+
+
 def test_v2_batch_encode_decode(setup, tmp_path):
     """B same-shape images coded in one fused pass; files interchange
     with the single-image API."""

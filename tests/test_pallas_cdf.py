@@ -71,12 +71,12 @@ def test_fine_kernel_matches_xla_path():
                                         use_pallas=True), np.int64)
     # Implementations must agree wherever the coarse bin carries real
     # mass; near-zero-mass bins divide ~0/~0 and may differ freely (the
-    # header flag pins ONE implementation per file, so encode==decode
-    # regardless). Identify well-conditioned rows via the XLA floats.
+    # codec never mixes them: it is XLA-only since v7, Pallas is a
+    # bench A/B path). Identify well-conditioned rows via the floats.
     pi_, mu_, inv_ = pi0, mu0, inv0
     k = jnp.arange(17, dtype=jnp.float32)
     t = (a.reshape(-1, 1).astype(jnp.float32) * 16.0 + k)         * np.float32(spec.bin_width)         + np.float32(spec.x_min - spec.bin_width / 2)
-    cv = np.asarray(tc._mixture_cdf_at(pi_, mu_, inv_, t))
+    cv = np.asarray(tc.edge_cdf(pi_, mu_, inv_, t))
     good = (cv[:, -1] - cv[:, 0]) > 1e-2
     assert good.sum() > n // 3   # the test must actually cover rows
     assert np.abs(xla[good] - pls[good]).max() <= 2
@@ -86,10 +86,9 @@ def test_fine_kernel_matches_xla_path():
         assert (d >= 1).all()
 
 
-def test_codec_roundtrip_with_pallas_tables(tmp_path, monkeypatch):
-    """Full file round-trip with the Pallas builders forced on (the
-    header flag records it; decode replays the same implementation)."""
-    monkeypatch.setenv("L3C_PALLAS_CDF", "1")
+def test_codec_ignores_pallas_env(tmp_path, monkeypatch):
+    """Since v7 the codec is XLA-only: L3C_PALLAS_CDF must not change
+    the bitstream or break the round-trip (it only steers bench A/Bs)."""
     from l3c_tpu.codec.bitcoding2 import TpuBitcoding
     from l3c_tpu.config import (MsConfig, EncConfig, DecConfig, QConfig,
                                 ProbConfig)
@@ -100,16 +99,17 @@ def test_codec_roundtrip_with_pallas_tables(tmp_path, monkeypatch):
     net = MultiscaleNetwork(cfg)
     params = jax.jit(net.init)(jax.random.PRNGKey(0),
                                jnp.zeros((1, 16, 16, 3)))
-    bc = TpuBitcoding(cfg, net, params)
-    assert bc.use_pallas
     img = np.random.RandomState(5).randint(
         0, 256, (1, 24, 16, 3)).astype(np.uint8)
+    monkeypatch.setenv("L3C_PALLAS_CDF", "1")
+    bc = TpuBitcoding(cfg, net, params)
     p = str(tmp_path / "pl.l3c")
     bc.encode(img, p)
-    # decode through a codec whose DEFAULT is XLA: the header flag must
-    # still route tables through the Pallas implementation
     monkeypatch.setenv("L3C_PALLAS_CDF", "0")
     bc2 = TpuBitcoding(cfg, net, params)
-    assert not bc2.use_pallas
+    p2 = str(tmp_path / "xla.l3c")
+    bc2.encode(img, p2)
+    with open(p, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
     out = bc2.decode(p)
     np.testing.assert_array_equal(out, img)

@@ -6,7 +6,7 @@ times CONFIG VARIANTS round-robin inside one process — every variant
 sees the same load profile — and reports best + median per variant.
 
 Usage: python tools/ab_bench.py [rounds] [batch]
-Variants are edited in CONFIGS below (coder profile x pallas tables).
+Variants are edited in CONFIGS below (coder profiles).
 """
 import os
 import sys
@@ -42,25 +42,23 @@ def main():
     imgs = [np.clip(base + rng.randint(-8, 8, base.shape), 0,
                     255).astype(np.uint8)[None] for _ in range(B)]
 
-    # (name, coder profile, pallas tables)
+    # (name, coder profile)
     CONFIGS = [
-        ("speed+xla", "speed", False),
-        ("speed+pallas", "speed", True),
-        ("balanced+pallas", "balanced", True),
-        ("size+pallas", "size", True),
+        ("speed", "speed"),
+        ("balanced", "balanced"),
+        ("size", "size"),
     ]
 
     codecs = []
-    for name, profile, use_pallas in CONFIGS:
+    for name, profile in CONFIGS:
         bc = TpuBitcoding(cfg, net, params)
-        bc.use_pallas = use_pallas
         codecs.append((name, profile, bc))
 
     def set_profile(profile):
         tc.CODER_PROFILE = profile
         tc._T_FORCED = False
 
-    results = {name: {"enc": [], "dec": []} for name, _, _ in CONFIGS}
+    results = {name: {"enc": [], "dec": []} for name, _ in CONFIGS}
     with tempfile.TemporaryDirectory() as d:
         # warmup / compile every variant
         for name, profile, bc in codecs:
@@ -92,7 +90,7 @@ def main():
     mp = B * 512 * 512 / 1e6
     print(f"{'variant':18s} {'enc_best':>9s} {'dec_best':>9s} "
           f"{'enc_med':>9s} {'dec_med':>9s} {'MP/s_best':>9s}")
-    for name, _, _ in CONFIGS:
+    for name, _ in CONFIGS:
         e, dd = sorted(results[name]["enc"]), sorted(results[name]["dec"])
         best = mp / (e[0] + dd[0])
         print(f"{name:18s} {e[0]*1e3:8.0f}m {dd[0]*1e3:8.0f}m "

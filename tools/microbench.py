@@ -1,4 +1,4 @@
-"""Per-stage device-cost map of the v5 codec at the bench shape.
+"""Per-stage device-cost map of the v7 codec at the bench shape.
 
 Each jitted stage is dispatched N times back-to-back and synced ONCE at
 the end, so the ~50-100ms axon sync latency amortizes away and the
@@ -9,9 +9,11 @@ numbers approximate true device execution time. Run on the real chip:
 Stages (batch F=8, 512x512 RGB, flagship cr.cf, trained demo model):
   enc_forward        full encoder pyramid
   get_P[s]           per-scale probability networks
-  coarse/fine tables scale-0 two-level table builds (3 channels)
-  bn tables          scale>0 mixture tables
-  enc/dec scans      the rANS scans per unit family
+  enc rgb units      scale-0 fused 4-edge lookups + both rANS scans (v7)
+  enc bn unit[s]     scale>0 fused 2-edge lookups + rANS scan (v7)
+  coarse/fine tables scale-0 two-level DECODE row builds (3 channels)
+  bn tables          scale>0 decode mixture rows
+  dec scan           decode-side rANS scan
 """
 import os
 import sys
@@ -76,7 +78,7 @@ def main():
                     out_of=lambda r: r[0][0])
 
     per_scale = bc._enc_forward(bc.params, x)
-    bld = bc._builders(bc.use_pallas)
+    bld = bc._builders()
 
     # per-scale get_P, coldest first like the codec runs them
     dec_F_prev = None
@@ -92,15 +94,15 @@ def main():
         if scale > 0:
             bn_prev = per_scale[scale - 1][1]
 
-    # scale-0 two-level table builds + scans
+    # --- table builders (shared by encode and decode)
     ls0 = ls_by_scale[0]
-    tf = bc._tf_of(x)
+    n = 512 * 512
+    T_u = tc.t_policy(n)
+    tf = jax.jit(lambda u8: u8.astype(jnp.float32))(x)
     split = jax.jit(lambda u8: (u8.astype(jnp.int32) >> tc.FINE_BITS,
                                 u8.astype(jnp.int32)
                                 & ((1 << tc.FINE_BITS) - 1)))
     a, bsym = split(x)
-    n = 512 * 512
-    T_u = tc.t_policy(n)
     total += timeit("coarse tables x3 (scale 0)",
                     lambda: [bld["coarse"][c](ls0, tf) for c in range(3)],
                     out_of=lambda r: r[-1])
@@ -109,20 +111,29 @@ def main():
         lambda: [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
                  for c in range(3)],
         out_of=lambda r: r[-1])
-    ct = jnp.concatenate([bld["coarse"][c](ls0, tf) for c in range(3)], 0)
-    ft = jnp.concatenate(
-        [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
-         for c in range(3)], 0)
-    total += timeit(
-        "enc scan coarse (scale 0)",
-        lambda: bc._encode_unit(ct, _group_syms(a), tc.N_COARSE, n,
-                                3 * F, T_u),
-        out_of=lambda r: r[0])
-    total += timeit(
-        "enc scan fine (scale 0)",
-        lambda: bc._encode_unit(ft, _group_syms(bsym),
-                                1 << tc.FINE_BITS, n, 3 * F, T_u),
-        out_of=lambda r: r[0])
+    for scale in range(1, S):
+        ls = ls_by_scale[scale]
+        total += timeit(f"bn tables (scale {scale})",
+                        lambda ls=ls: bld["bn"](ls))
+
+    # --- scans
+    cts = [bld["coarse"][c](ls0, tf) for c in range(3)]
+    fts = [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
+           for c in range(3)]
+    total += timeit("enc rgb units (scale 0, 2 scans)",
+                    lambda: bc._enc_rgb_units(cts, fts, x, T_u),
+                    out_of=lambda r: r[0])
+    for scale in range(1, S):
+        ls = ls_by_scale[scale]
+        tgt = per_scale[scale - 1][0]
+        tb = bld["bn"](ls)
+        T_s = tc.t_policy(tgt.shape[1] * tgt.shape[2])
+        total += timeit(
+            f"enc bn unit (scale {scale})",
+            lambda tb=tb, tgt=tgt, T_s=T_s: bc._enc_bn_unit(tb, tgt,
+                                                            T_s),
+            out_of=lambda r: r[0])
+    ct = jnp.concatenate(cts, 0)
     words_c, _ = bc._encode_unit(ct, _group_syms(a), tc.N_COARSE, n,
                                  3 * F, T_u)
     total += timeit(
@@ -131,22 +142,6 @@ def main():
                                                      // 3], tc.N_COARSE,
                                 n, F, T_u),
         out_of=lambda r: r)
-
-    # bn scales (1..S-1) table builds + scans
-    C_bn = cfg.q.C
-    for scale in range(1, S):
-        ls = ls_by_scale[scale]
-        tgt = per_scale[scale - 1][0]
-        ns = tgt.shape[1] * tgt.shape[2]
-        T_s = tc.t_policy(ns)
-        total += timeit(f"bn tables (scale {scale})",
-                        lambda ls=ls: bld["bn"](ls))
-        tb = bld["bn"](ls)
-        total += timeit(
-            f"enc scan bn (scale {scale})",
-            lambda tb=tb, tgt=tgt, ns=ns, T_s=T_s: bc._encode_unit(
-                tb, _group_syms(tgt), bc._bn.L, ns, C_bn * F, T_s),
-            out_of=lambda r: r[0])
 
     print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms")
 
