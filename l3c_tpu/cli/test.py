@@ -42,6 +42,11 @@ def main(argv=None):
                    help="sort the summary by testset name, experiment, "
                         "iteration, or result (reference test.py -s)")
     p.add_argument("--reset_cache", action="store_true")
+    p.add_argument("--spatial_shard", action="store_true",
+                   help="evaluate above-auto-crop-threshold images by "
+                        "height-sharding over the device mesh (ICI halo "
+                        "exchange) instead of independent auto-crop "
+                        "tiles; needs >1 device")
     p.add_argument("--config_roots", default=None,
                    help="colon-separated roots to resolve .cf names")
     p.add_argument("--codec_backend", default="auto",
@@ -82,7 +87,8 @@ def main(argv=None):
                 use_cache=not flags.reset_cache,
                 recursive=flags.recursive,
                 codec_backend=flags.codec_backend,
-                crop=flags.crop)
+                crop=flags.crop,
+                spatial_shard=flags.spatial_shard)
             for ts in testsets:
                 if flags.write_to_files:
                     res = tester.write_to_files(

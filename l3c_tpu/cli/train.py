@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--restore_restart", action="store_true",
                    help="restart at itr 0, skip optimizer state")
     p.add_argument("--restore_itr", type=int, default=-1)
+    p.add_argument("--restore_strict", type=str, default="1",
+                   choices=("0", "1"),
+                   help="0 = partial restore: adopt matching subtrees, "
+                        "keep fresh init elsewhere (reference "
+                        "train_restorer.py strict flag)")
     p.add_argument("--num_itr", type=int, default=None,
                    help="iterations to train (default: until killed)")
     p.add_argument("--log_train", type=int, default=100)
@@ -128,7 +133,8 @@ def main(argv=None):
 
     if restore_dir:
         got = trainer.restore(Restorer(restore_dir), flags.restore_itr,
-                              restart=flags.restore_restart)
+                              restart=flags.restore_restart,
+                              strict=flags.restore_strict == "1")
         print(f"restored itr {got} from {restore_dir}")
 
     if flags.debug:

@@ -9,11 +9,12 @@ Reimplements /root/reference/src/test/multiscale_tester.py:
   with per-stage timings (353-381) — the de-facto e2e gate
 - --sample: generative sampling at scale subsets saved as PNGs (436-448)
 - results cached per (dataset_id, restore_itr) in a pickle
-  (TestOutputCache, 67-107); single-process here so a file lock is not
-  needed — kept append-safe via atomic replace.
+  (TestOutputCache, 67-107), guarded by an interprocess file lock like
+  the reference's fasteners.InterProcessLock (74-77).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import pickle
 import time
@@ -50,8 +51,25 @@ class TestResult:
 
 
 class TestOutputCache:
+    """Result cache guarded by an interprocess file lock: two testers
+    sharing one log dir must not lose each other's results in the
+    read-modify-write of put() (the reference guards the same cache
+    with fasteners.InterProcessLock, multiscale_tester.py:74-77; here
+    fcntl.flock on a sidecar .lock file — stdlib, POSIX)."""
+
     def __init__(self, log_dir: str):
         self.path = os.path.join(log_dir, "test_outputs.pkl")
+        self._lock_path = self.path + ".lock"
+
+    @contextlib.contextmanager
+    def _locked(self):
+        import fcntl
+        with open(self._lock_path, "a+") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _load(self) -> Dict:
         if os.path.isfile(self.path):
@@ -60,18 +78,23 @@ class TestOutputCache:
         return {}
 
     def __contains__(self, test_id: TestID) -> bool:
-        return test_id in self._load()
+        with self._locked():
+            return test_id in self._load()
 
     def get(self, test_id: TestID):
-        return self._load().get(test_id)
+        with self._locked():
+            return self._load().get(test_id)
 
     def put(self, test_id: TestID, result: TestResult):
-        d = self._load()
-        d[test_id] = result
-        tmp = self.path + ".write"
-        with open(tmp, "wb") as f:
-            pickle.dump(d, f)
-        os.replace(tmp, self.path)
+        # lock held across load-modify-replace: concurrent put()s
+        # serialize instead of last-writer-wins on the whole dict
+        with self._locked():
+            d = self._load()
+            d[test_id] = result
+            tmp = self.path + ".write"
+            with open(tmp, "wb") as f:
+                pickle.dump(d, f)
+            os.replace(tmp, self.path)
 
 
 class EncodeError(Exception):
@@ -83,7 +106,8 @@ class MultiscaleTester:
                  log_dir: Optional[str] = None, restore_itr: int = -1,
                  use_cache: bool = True, recursive: int = 0,
                  codec_backend: str = "auto",
-                 crop: Optional[int] = None):
+                 crop: Optional[int] = None,
+                 spatial_shard: bool = False, spatial_halo: int = 32):
         from ..utils.jaxtools import ensure_compile_cache
         ensure_compile_cache()
         self.cfg = cfg
@@ -102,11 +126,20 @@ class MultiscaleTester:
         # --crop: center-crop every test image to crop x crop before
         # eval/coding (reference test.py --crop / CenterCrop transform)
         self.crop = crop
+        # --spatial_shard: images above the auto-crop threshold are
+        # bpsp-evaluated via height-sharding + ICI halo exchange over
+        # the device mesh (parallel.spatial) instead of independent
+        # auto-crop tiles — the TPU-native replacement for the
+        # reference's CPU-side cropping (auto_crop.py:24-36)
+        self.spatial_shard = spatial_shard and jax.device_count() > 1
+        self.spatial_halo = spatial_halo
+        self._spatial_cache = {}  # (H, W) -> jitted bpsp fn
         self.cache = (TestOutputCache(log_dir)
                       if (log_dir and use_cache) else None)
-        # skip=0: include every image in timing reports (callers can
-        # discard the first-image compile warmup from the report's
-        # context; skipping it outright loses single-image reports)
+        # skip=0 records everything; StackTimer.means() drops each
+        # scope's first (compile-warmup) sample whenever >= 2 samples
+        # exist, so --time_report means match the reference's
+        # warmup-skipping behavior without losing single-image reports.
         self.times = StackTimer(skip=0)
 
         def fwd(params, x, num_sp):
@@ -186,6 +219,9 @@ class MultiscaleTester:
 
     def _bpsp_of_image(self, path: str) -> float:
         img = self._load(path)
+        if (self.spatial_shard and auto_crop.needs_crop(img)
+                and not self.recursive):
+            return self._spatial_bpsp(img)
         comb = auto_crop.CropLossCombinator()
         fac = self.cfg.padding_fac * (2 ** self.recursive)
         for crop in auto_crop.iter_crops(img):
@@ -196,6 +232,42 @@ class MultiscaleTester:
                                    num_sp))
             comb.add(bpsp, num_sp)
         return comb.get_bpsp()
+
+    def _spatial_bpsp(self, img: np.ndarray) -> float:
+        """bpsp of one large image via height-sharding over the mesh:
+        ONE exact-forward pass with halo exchange instead of independent
+        auto-crop tiles. H is padded up to n_devices * 2^S (W to the
+        normal padding factor); padded subpixels are coded like the
+        canonical path's pad and the denominator stays the TRUE
+        subpixel count, so numbers are comparable with auto-crop."""
+        from ..parallel import mesh as mesh_mod
+        from ..parallel import spatial
+        _, H, W, _ = img.shape
+        n = jax.device_count()
+        S = self.cfg.num_scales
+        fac_h = n * (1 << S)
+        Hp = H + (-H) % fac_h
+        # halo: multiple of 2^S, at least one scale step, at most one
+        # slab (halo_exchange is single-hop)
+        halo = max(self.spatial_halo, 1 << S)
+        halo += (-halo) % (1 << S)
+        halo = min(halo, Hp // n)
+        Wp = W + (-W) % self.cfg.padding_fac
+        padded = np.zeros((1, Hp, Wp, 3), img.dtype)
+        padded[:, :H, :W] = img
+        if W < Wp:
+            padded[:, :H, W:] = img[:, :, -1:]          # replicate cols
+        if H < Hp:
+            padded[:, H:] = padded[:, H - 1: H]          # replicate rows
+        key = (Hp, Wp)
+        if key not in self._spatial_cache:
+            mesh = mesh_mod.make_mesh()
+            self._spatial_cache[key] = spatial.spatial_bpsp_fn(
+                self.cfg, self.net, mesh, Hp, Wp, halo)
+        bpsp_padded = float(self._spatial_cache[key](
+            self.params, jnp.asarray(padded)))
+        # fn divides by the padded subpixel count; rescale to the true one
+        return bpsp_padded * (Hp * Wp) / (H * W)
 
     # ------------------------------------------------------- round-trip
 

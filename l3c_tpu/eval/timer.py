@@ -46,7 +46,14 @@ class StackTimer:
         self._iteration += 1
 
     def means(self) -> Dict[str, float]:
-        return {k: sum(v) / len(v) for k, v in self._times.items() if v}
+        """Per-scope means with compile warmup excluded: when a scope
+        has >= 2 samples, the FIRST one (the jit-compile iteration) is
+        dropped — the reference skips warmup the same way
+        (multiscale_tester.py:297). Single-sample scopes keep their one
+        measurement so one-image runs still produce a report."""
+        return {k: (sum(v[1:]) / len(v[1:]) if len(v) >= 2
+                    else v[0])
+                for k, v in self._times.items() if v}
 
     def lasts(self) -> Dict[str, float]:
         return {k: v[-1] for k, v in self._times.items() if v}

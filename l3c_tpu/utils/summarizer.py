@@ -67,6 +67,11 @@ class Summarizer:
             self.writer.add_histogram(self._tag(tag), np.asarray(values),
                                       self._step)
 
+    def figure(self, tag: str, fig):
+        if self.enabled and fig is not None and hasattr(
+                self.writer, "add_figure"):
+            self.writer.add_figure(self._tag(tag), fig, self._step)
+
 
 def to_image(arr: np.ndarray) -> np.ndarray:
     """Any 2D/3D float or int array -> uint8 HWC (vis/image_summaries)."""
@@ -113,6 +118,36 @@ def add_scale_summaries(summarizer: Summarizer, out, q_L: int):
                              np.asarray(out.S[scale]).reshape(-1))
 
 
+def ps_figure(p_x: np.ndarray, p_y: np.ndarray):
+    """Observed-vs-predicted symbol-distribution bar figure.
+
+    The reference's vis/histogram_plotter.py:28-40 side-by-side bars of
+    p_x (observed) against p_y (model-predicted): the calibration view
+    that shows exactly where the model's distribution diverges from the
+    data (e.g. mass pushed below symbol 0 — the round-2 lower-tail
+    coder bug would have been visible here during training). Returns a
+    matplotlib Figure, or None if matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    p_x = np.asarray(p_x, np.float64)
+    p_x = p_x / max(1e-12, p_x.sum())
+    p_y = np.asarray(p_y, np.float64)
+    fig, ax = plt.subplots(figsize=(8, 3))
+    idx = np.arange(len(p_x))
+    w = 0.4
+    ax.bar(idx - w, p_x, width=w, label="p_x (observed)", align="edge")
+    ax.bar(idx, p_y, width=w, label="p_y (predicted)", align="edge",
+           alpha=0.7)
+    ax.set_xlabel("symbol")
+    ax.legend()
+    fig.tight_layout()
+    return fig
+
+
 class SafeWriter:
     """TB writer facade: silently no-ops if tensorboard is missing and
     coerces payload dtypes (reference SafeSummaryWriter)."""
@@ -136,6 +171,10 @@ class SafeWriter:
     def add_histogram(self, tag, values, step):
         if self._w is not None:
             self._w.add_histogram(tag, np.asarray(values), step)
+
+    def add_figure(self, tag, fig, step):
+        if self._w is not None and fig is not None:
+            self._w.add_figure(tag, fig, step)
 
     def add_histogram_counts(self, tag, counts, edges, step):
         """Histogram from PRE-BUCKETED counts (computed in-graph on the

@@ -246,3 +246,33 @@ def test_pad_noop_when_divisible():
     padded, tup = pad_mod.pad(img, fac=8)
     assert tup == (0, 0, 0, 0)
     assert padded is img
+
+
+def test_mean_symbol_probs_matches_numpy_oracle():
+    """p_y (mean predicted symbol distribution): sums to 1 and matches a
+    float64 numpy oracle that averages per-pixel discretized mixture
+    probabilities (tails absorbed into the edge symbols)."""
+    spec = dmll.DMLLSpec(rgb_scale=False, x_min=-1.0, x_max=1.0, L=9)
+    rng = np.random.RandomState(3)
+    N, H, W, C, K = 1, 4, 5, 2, 3
+    l = rng.randn(N, H, W, spec.num_params * C * K).astype(np.float32)
+    x = rng.uniform(-1, 1, (N, H, W, C)).astype(np.float32)
+    p_y = np.asarray(jax.jit(dmll.mean_symbol_probs,
+                             static_argnums=(0,))(spec, jnp.asarray(x),
+                                                  jnp.asarray(l)))
+    assert p_y.shape == (spec.L,)
+    np.testing.assert_allclose(p_y.sum(), 1.0, atol=1e-5)
+    # numpy oracle
+    lr = l.reshape(N, H, W, spec.num_params, C, K).astype(np.float64)
+    pis = np.exp(lr[..., 0, :, :])
+    pis /= pis.sum(-1, keepdims=True)
+    mu = lr[..., 1, :, :]
+    inv_s = np.exp(-np.maximum(lr[..., 2, :, :], dmll.LOG_SCALES_MIN))
+    bw = spec.bin_width
+    edges = spec.x_min - bw / 2 + bw * np.arange(spec.L + 1)
+    cdf = (pis[..., None] / (1 + np.exp(
+        -(edges - mu[..., None]) * inv_s[..., None]))).sum(-2)  # NHWC,L+1
+    cdf[..., 0] = 0.0
+    cdf[..., -1] = 1.0
+    oracle = np.diff(cdf, axis=-1).mean(axis=(0, 1, 2, 3))
+    np.testing.assert_allclose(p_y, oracle, atol=1e-5)

@@ -82,3 +82,38 @@ def test_spatial_geometry_checks():
         spatial.spatial_bpsp_fn(cfg, net, mesh, H=100, W=32, halo=16)
     with pytest.raises(ValueError, match="multiples"):
         spatial.spatial_bpsp_fn(cfg, net, mesh, H=256, W=32, halo=12)
+
+
+def test_tester_spatial_shard_matches_auto_crop(tmp_path, monkeypatch):
+    """--spatial_shard: an above-threshold image evaluated via shard_map
+    agrees with the default auto-crop tiling path (both approximate the
+    untiled bpsp; spatial is the exact forward, auto-crop changes tile
+    boundaries, so allow a small relative gap)."""
+    from l3c_tpu.eval.tester import MultiscaleTester
+    monkeypatch.setenv("AC_NEEDS_CROP_DIM", "48,48")  # force tiny limit
+    cfg = small_cfg()
+    net = MultiscaleNetwork(cfg)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)))
+    rng = np.random.RandomState(11)
+    base = rng.randint(60, 200, (1, 1, 1, 3))
+    img = np.clip(base + rng.randint(-40, 40, (1, 64, 64, 3)),
+                  0, 255).astype(np.uint8)
+    p = str(tmp_path / "big.png")
+    from PIL import Image
+    Image.fromarray(img[0]).save(p)
+
+    class OneImg:
+        id = "one"
+
+        def __iter__(self):
+            return iter([p])
+
+    t_ac = MultiscaleTester(cfg, net, params, use_cache=False)
+    t_sp = MultiscaleTester(cfg, net, params, use_cache=False,
+                            spatial_shard=True, spatial_halo=16)
+    assert t_sp.spatial_shard, "needs the 8-device CPU mesh"
+    b_ac = t_ac.test(OneImg()).mean_bpsp()
+    b_sp = t_sp.test(OneImg()).mean_bpsp()
+    assert t_sp._spatial_cache, "spatial path must actually engage"
+    np.testing.assert_allclose(b_sp, b_ac, rtol=0.05)

@@ -51,6 +51,11 @@ def test_schedule_warm_restart():
     # after the restart at 30, the warm schedule restarts from initial
     assert float(lr(30)) == pytest.approx(1.0)
     assert float(lr(45)) == pytest.approx(0.75)
+    # the warm schedule is adopted PERMANENTLY: no second restart at 60
+    # (reference lr_schedule.py:106-121 — _warm_restart copies the warm
+    # params over and the warm schedule has no restart of its own)
+    assert float(lr(60)) == pytest.approx(0.75 ** 3)
+    assert float(lr(95)) == pytest.approx(0.75 ** 6)
 
 
 # ------------------------------------------------------------------ saver
@@ -183,3 +188,59 @@ def test_heavy_summaries_emit_activation_histograms(tmp_path):
     # scale 1 bottleneck of a 16x16 crop: (2, 8, 8, C=2) activations
     assert counts.sum() == 2 * 8 * 8 * 2
     assert len(edges) == len(counts) + 1
+
+
+def test_restore_non_strict_partial(tmp_path):
+    """strict=False adopts matching subtrees and keeps fresh init for
+    mismatched ones (reference train_restorer.py:26-60 strict flag)."""
+    import flax.serialization as fser
+    from l3c_tpu.train.saver import _overlay_state
+    cfg = _tiny_cfg()
+    dl = DlConfig(batchsize_train=2, batchsize_val=2, crop_size=16)
+    net = MultiscaleNetwork(cfg)
+    gen = _synthetic_batches(2, 16)
+    tr = Trainer(cfg, dl, net, gen, out_dir=str(tmp_path), epoch_len=10)
+    tr.train(num_itr=250, log_every=0, val_every=0)
+
+    tr2 = Trainer(cfg, dl, net, gen, out_dir=None, epoch_len=10)
+    # deliberately mismatch a subtree: doctor one param leaf's shape in
+    # the template so the checkpoint value cannot be adopted there
+    state = jax.device_get(tr2.state)
+    sd = fser.to_state_dict(state)
+
+    def first_leaf_path(d, path=()):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                got = first_leaf_path(v, path + (k,))
+                if got:
+                    return got
+            elif getattr(v, "ndim", 0) >= 1:
+                return path + (k,)
+        return None
+
+    path = first_leaf_path(sd["params"])
+    sub = sd["params"]
+    for k in path[:-1]:
+        sub = sub[k]
+    orig_shape = sub[path[-1]].shape
+    sub[path[-1]] = np.zeros(orig_shape + (2,), np.float32)  # new shape
+
+    r = Restorer(str(tmp_path))
+    with open(r.get_ckpt_for_itr(-1)[1], "rb") as f:
+        loaded = fser.msgpack_restore(f.read())
+    merged = _overlay_state(sd, loaded)
+    # mismatched leaf keeps the doctored template value
+    sub_m = merged["params"]
+    for k in path[:-1]:
+        sub_m = sub_m[k]
+    assert sub_m[path[-1]].shape == orig_shape + (2,)
+    # a matching leaf was adopted from the checkpoint
+    ck = jax.device_get(tr.state)
+    sd_ck = fser.to_state_dict(ck)["params"]
+    flat_m = jax.tree_util.tree_leaves(merged["params"])
+    flat_c = jax.tree_util.tree_leaves(sd_ck)
+    adopted = sum(
+        1 for a, b in zip(flat_m, flat_c)
+        if getattr(a, "shape", None) == getattr(b, "shape", None)
+        and np.array_equal(np.asarray(a), np.asarray(b)))
+    assert adopted >= len(flat_c) - 1
