@@ -33,21 +33,26 @@ Scale coding structure (per image, one file "unit" per line):
                      symbols, then 16-ary fine symbols conditioned on
                      the decoded coarse bin
 
-v7 table spec: per-edge independent quantization (floor + 2l slack, no
-cummax — ops.tpu_coder module docstring). Encode and decode build CDF
-rows through the SAME standalone jitted builder programs at the same
-fbatch shapes — the only sound float contract: evaluating the same
-expression in differently-fused programs measurably diverges by 1 ulp
-and flips floor() at quantization boundaries (RESULTS.md round 3). A
-canary table computed from fixed synthetic params by the same programs
-is stamped into every file header; decode recomputes it and rejects
-the file BEFORE emitting corrupt pixels if the platform/XLA build
-lowers the coder numerics differently (the TPU-format analogue of the
-host v2 format's evaluator-variant byte, ops/csrc/l3c_coder.cpp).
+v8 coder: the coding CDF is the EXACT-INTEGER-IN-F32 evaluator of
+ops.int_coder (per-edge +2l spec, no cummax). The mixture params are
+quantized to integer fixed point ONCE inside each scale's shared get_P
+program; everything downstream is exact-integer f32 math that gives
+bit-identical results in ANY program shape and fusion. Consequences:
+ - encode evaluates only the 2 CDF edges around each KNOWN symbol
+   (O(2K) per pixel instead of O(L*K) full rows) fused into the rANS
+   scan program — no standalone table-builder dispatches at all;
+ - decode builds full rows INSIDE its scan programs (same exact math);
+ - the v6/v7 "same builder programs" constraint narrows to the get_P
+   float forward alone (still covered by the fbatch contract above).
+A canary over the pack+rows+lookup chain on fixed synthetic params is
+stamped into every header; decode rejects a mismatch BEFORE emitting
+pixels (the analogue of host v2's evaluator-variant byte). The header
+also records the coder's top-k mixture truncation so decode rebuilds
+the same truncated distribution.
 
-File format v7:
-  magic 'L3TP' | version=7 u8 | num_scales u8 | fbatch u8
-  | flags u8 (reserved, 0) | canary u32
+File format v8:
+  magic 'L3TP' | version=8 u8 | num_scales u8 | fbatch u8
+  | topk u8 (0 = full mixture) | canary u32
   | padL,padR,padT,padB u16*4 | padded H u16 | W u16
   per unit: T u16 | n_streams u32
             | length block (mode u8: 0 = base u16 + u8 deltas,
@@ -71,6 +76,7 @@ from ..config import MsConfig
 from ..models import dmll as dmll_mod
 from ..models import grids, layers
 from ..models.network import MultiscaleNetwork
+from ..ops import int_coder as ic
 from ..ops import tpu_coder as tc
 from ..utils import pad as pad_mod
 from ..utils.jaxtools import ensure_compile_cache
@@ -140,66 +146,65 @@ def _unpad_dev(flat: jnp.ndarray, hdr_off, rows: int, cols: int
 _CANARY_CACHE = {}
 
 
-def contract_canary(rgb_spec, bn_spec, C_bn: int, K: int) -> int:
-    """u32 attestation that THIS process's XLA build lowers the shared
-    v7 coder numerics the same way as the encoder's did.
+def contract_canary(rgb_spec, bn_spec, C_bn: int, K: int,
+                    topk: int) -> int:
+    """u32 attestation that THIS process produces the same coder
+    numerics as the encoder's did.
 
-    Runs the real builder/lookup functions on fixed synthetic params
-    (tails included) in one tiny jitted program — covering the decode
-    row builders AND the encode 2-edge lookups — and CRC32s the
-    quantized outputs. Stamped into every v7 header; checked before any
-    pixel is emitted on decode."""
+    Runs the v8 chain — pack_int_params (the one float stage) + decode
+    row builders + encode 2-edge lookups, bn and two-level RGB — on
+    fixed synthetic network outputs in one tiny jitted program and
+    CRC32s the outputs. With the exact-integer evaluator everything
+    after pack is platform-independent by construction, so a mismatch
+    can only come from the float pack stage (or a code change in the
+    evaluator itself) — exactly what must abort a decode BEFORE any
+    pixel is emitted."""
     import zlib
-    from ..ops import tpu_coder as _tc
-    key = (rgb_spec, bn_spec, C_bn, K)
+    key = (rgb_spec, bn_spec, C_bn, K, topk)
     if key not in _CANARY_CACHE:
         n_h, n_w = 4, 32                       # 128 canary pixels
         rs = np.random.RandomState(0x13C7)
-
-        def params(C):
-            raw = rs.randn(1, n_h, n_w, C, K).astype(np.float32)
-            e = np.exp(raw * 2.0)
-            pi = (e / e.sum(-1, keepdims=True)).astype(np.float32)
-            span = 1.5 * (rgb_spec.x_max - rgb_spec.x_min)
-            mu = (rs.uniform(rgb_spec.x_min - 0.25 * span,
-                             rgb_spec.x_max + 0.25 * span,
-                             (1, n_h, n_w, C, K)).astype(np.float32))
-            inv_s = np.exp(rs.uniform(-2, 7, (1, n_h, n_w, C, K))
-                           ).astype(np.float32)
-            lam = rs.uniform(0, 1, (1, n_h, n_w, C, K)
-                             ).astype(np.float32)
-            return pi, mu, inv_s, lam
-
-        packed_rgb = params(3)
-        packed_bn = params(C_bn)
+        Kp_rgb = dmll_mod.non_shared_get_Kp(K, 3)
+        Kp_bn = dmll_mod.non_shared_get_Kp(K, C_bn)
+        l_rgb = (rs.randn(1, n_h, n_w, Kp_rgb) * 2.0).astype(np.float32)
+        l_bn = (rs.randn(1, n_h, n_w, Kp_bn) * 2.0).astype(np.float32)
         t_rgb = rs.randint(0, 256, (1, n_h, n_w, 3)).astype(np.int32)
+        t_bn = rs.randint(0, bn_spec.L,
+                          (C_bn, n_h * n_w)).astype(np.int32)
 
         def canary_fn():
-            tf = t_rgb.astype(np.float32)
-            a1 = jnp.asarray(
-                (t_rgb[..., 1] >> _tc.FINE_BITS).reshape(-1))
+            ip_r = ic.pack_int_params(rgb_spec, jnp.asarray(l_rgb), 3,
+                                      topk)
+            ip_b = ic.pack_int_params(bn_spec, jnp.asarray(l_bn), C_bn,
+                                      topk)
+            t = jnp.asarray(t_rgb)
+            a1 = (t[..., 1] >> tc.FINE_BITS).reshape(-1)
+            b1 = (t[..., 1] & 15).reshape(-1)
+            dec1 = (t[..., 0].reshape(-1),)
             return (
-                _tc.rgb_coarse_tables_packed(rgb_spec, packed_rgb, 1,
-                                             jnp.asarray(tf)),
-                _tc.rgb_fine_tables_packed(rgb_spec, packed_rgb, 1,
-                                           jnp.asarray(tf), a1),
-                _tc.mixture_tables_all_channels_packed(
-                    bn_spec, packed_bn, C_bn, None),
+                ic.rgb_coarse_rows(ip_r, 1, dec1),
+                ic.rgb_fine_rows(ip_r, 1, dec1, a1),
+                ic.rgb_coarse_lookup(ip_r, 1, dec1, a1),
+                ic.rgb_fine_lookup(ip_r, 1, dec1, a1, b1),
+                ic.bn_rows(ip_b, C_bn, bn_spec.L),
+                ic.bn_lookup(ip_b, jnp.asarray(t_bn), C_bn, bn_spec.L),
             )
 
         outs = jax.jit(canary_fn)()
-        blob = b"".join(np.asarray(o).tobytes() for o in outs)
+        blob = b"".join(np.asarray(o).tobytes()
+                        for o in jax.tree_util.tree_leaves(outs))
         _CANARY_CACHE[key] = zlib.crc32(blob) & 0xFFFFFFFF
     return _CANARY_CACHE[key]
 
 
 class TpuBitcoding:
-    """Encode/decode images with the fully on-device coder (format v7)."""
+    """Encode/decode images with the fully on-device coder (format v8)."""
 
-    VERSION = 7  # v7 = 2-edge encode spec (floor + 2l slack) + canary
+    VERSION = 8  # v8 = exact-integer coding CDF, 2-edge encode, topk
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
-                 times=None, device=None, coder_profile=None):
+                 times=None, device=None, coder_profile=None,
+                 coder_topk: Optional[int] = None):
         """device: optional jax.Device pinning ALL of this codec's work
         (params, inputs, every jit dispatch) to one chip. Used by
         parallel.fanout.CodecFanout to run one codec instance per mesh
@@ -230,42 +235,42 @@ class TpuBitcoding:
         # float view of the RGB target for the table builders (the image
         # is uploaded ONCE as uint8; float32/int32 views never cross the
         # host link)
-        self._tf_of = jax.jit(lambda t: t.astype(jnp.float32))
         self._to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
-        # per-channel flattened coarse symbols for the fine builders
-        self._coarse_of = jax.jit(lambda t: tuple(
-            (t[..., c].astype(jnp.int32) >> tc.FINE_BITS).reshape(-1)
-            for c in range(3)))
         self._sub_mean = jax.jit(
-            lambda x: x - jnp.asarray(255.0 * layers.RGB_MEAN,
-                                      jnp.float32))
-        self._zeros_f32 = jax.jit(
-            lambda shape: jnp.zeros(shape, jnp.float32),
-            static_argnums=(0,))
+            lambda x: x.astype(jnp.float32)
+            - jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32))
         # (rows, cols) padded unit view out of the DENSE uploaded word
         # buffer (u32 row-offset header + packed stream words). hdr_off
         # stays a traced scalar so content-dependent offsets never
         # trigger recompiles.
         self._unpad_unit = jax.jit(_unpad_dev, static_argnums=(2, 3))
-        # get_P + pack_coder_params in ONE shared program per scale:
-        # the builders consume pre-packed (pi, mu, inv_s, lam) so the
-        # softmax/exp over every channel's mixture params runs once per
-        # scale instead of once per table builder (6x on RGB scales —
-        # measured ~2x on the coarse-table stage at the bench shape).
-        def _get_P_packed(p, bn, decF, s):
+        # get_P + pack_int_params in ONE shared program per scale: the
+        # network forward AND the float->int quantization boundary (the
+        # v8 coder's only float stage) run once; every downstream coder
+        # program consumes exact-integer IntParams.
+        # coder_topk: truncate the coding mixture to the top-k
+        # components (renormalized; the host backend's PI_SKIP analogue)
+        # — recorded in the header; decode rebuilds per the file's
+        # value, so instances can decode files with any topk.
+        self.coder_topk = (int(os.environ.get("L3C_CODER_TOPK", "0"))
+                           if coder_topk is None else int(coder_topk))
+
+        def _get_P_int(p, bn, decF, s, topk):
             ls, dec_F = self.net.apply(p, s, bn, decF,
                                        method=MultiscaleNetwork.get_P)
             spec = (self._rgb if (s == 0 or cfg.rgb_bicubic_baseline)
                     else self._bn)
             C = 3 if (s == 0 or cfg.rgb_bicubic_baseline) else cfg.q.C
-            packed = dmll_mod.pack_coder_params(spec, ls, C)
-            return packed, dec_F
-        self._get_P = {
-            s: jax.jit(lambda p, bn, decF, s=s: _get_P_packed(p, bn,
-                                                              decF, s))
-            for s in range(cfg.num_scales)
-        }
-        self._builder_cache = {}
+            return ic.pack_int_params(spec, ls, C, topk), dec_F
+        self._get_P_cache = {}
+
+        def get_P(s: int, topk: int):
+            key = (s, topk)
+            if key not in self._get_P_cache:
+                self._get_P_cache[key] = jax.jit(
+                    lambda p, bn, decF: _get_P_int(p, bn, decF, s, topk))
+            return self._get_P_cache[key]
+        self._get_P = get_P
         # per-unit-geometry predicted fetch widths (optimistic single-
         # transfer fetch; see encode_batch_async)
         self._width_pred = {}
@@ -273,46 +278,15 @@ class TpuBitcoding:
         self.coder_profile = coder_profile
         self._init_coder_jits()
 
-    def _builders(self):
-        """Jitted batched DECODE-side table builders: packed scale
-        params [+ decoded (F,h,w,C)] -> uint16 rows grouped channel-
-        major/batch-minor, ready for the scans. (Encode needs no rows
-        since v7 — see the edge-lookup programs in _init_coder_jits.)"""
-        if not self._builder_cache:
-            cfg = self.cfg
-            self._builder_cache = dict(
-                bn=jax.jit(
-                    lambda pk: tc.mixture_tables_all_channels_packed(
-                        self._bn, pk, cfg.q.C, None)),
-                coarse={
-                    c: jax.jit(lambda pk, dec, c=c:
-                               tc.rgb_coarse_tables_packed(
-                                   self._rgb, pk, c, dec))
-                    for c in range(3)},
-                fine={
-                    c: jax.jit(lambda pk, dec, a, c=c:
-                               tc.rgb_fine_tables_packed(
-                                   self._rgb, pk, c, dec, a))
-                    for c in range(3)})
-        return self._builder_cache
-
     def _init_coder_jits(self):
-        # ---- integer coder jits (side-specific; exact by construction).
-        # T is per-unit (t_policy on encode, the unit header on decode).
-        # Grouping/concat/lookup are folded INTO the programs: each
-        # eager op on the axon backend is a separate relay dispatch
-        # (~2-6ms), and an encode touches dozens of them. Only the
-        # FLOAT-producing programs (get_P, table builders) must stay
-        # standalone — they are the shared encode/decode determinism
-        # contract; everything integer fuses freely.
-        self._encode_unit = jax.jit(
-            lambda tables, syms, L, n, G, T: tc.encode_channels(
-                tables, syms, L, tc.layout_for(n, G, T)),
-            static_argnums=(2, 3, 4, 5))
-        self._decode_unit = jax.jit(
-            lambda tables, words, L, n, G, T: tc.decode_channels(
-                tables, words, L, tc.layout_for(n, G, T)),
-            static_argnums=(2, 3, 4, 5))
+        # ---- coder jits. With the v8 exact-integer evaluator there is
+        # no standalone table-builder program left: encode fuses the
+        # 2-edge lookups into its rANS scan programs, decode builds full
+        # rows inside its scan programs — identical values by
+        # construction (ops.int_coder). Grouping/concat/lookup fold into
+        # the same programs: each eager op on the axon backend is a
+        # separate relay dispatch (~2-6ms). T is per-unit (t_policy on
+        # encode, the unit header on decode).
         self._enc_uni = jax.jit(
             lambda syms, L, n, G, T: tc.encode_uniform(
                 syms, L, tc.layout_for(n, G, T)),
@@ -322,19 +296,15 @@ class TpuBitcoding:
                 words, L, tc.layout_for(n, G, T)),
             static_argnums=(1, 2, 3, 4))
 
-        def enc_bn_unit(tables, syms_nhwc, T):
-            # (F,h,w,C) bottleneck syms -> one fused group+encode program.
-            # Tables come from the SAME standalone builder programs the
-            # decoder dispatches — the only sound float contract: the
-            # 2-edge-lookup design (evaluating the shared expression in
-            # a different program) measurably diverges by 1 ulp in fused
-            # contexts and flips floor() at quantization boundaries
-            # (~1e-3 of symbols at 64x64 on CPU XLA) — see RESULTS.md
-            # round 3, "cross-program float divergence".
+        def enc_bn_unit(ip, syms_nhwc, T):
+            # (F,h,w,C) bottleneck syms -> 2-edge lookups + one fused
+            # rANS scan, ONE program (no rows anywhere)
             F, h, w, C = syms_nhwc.shape
-            return tc.encode_channels(tables, _group_syms(syms_nhwc),
-                                      self._bn.L,
-                                      tc.layout_for(h * w, C * F, T))
+            syms_cm = syms_nhwc.transpose(3, 0, 1, 2).reshape(C, -1)
+            start, freq = ic.bn_lookup(ip, syms_cm.astype(jnp.int32),
+                                       C, self._bn.L)
+            return tc.encode_sf(start, freq,
+                                tc.layout_for(h * w, C * F, T))
         self._enc_bn_unit = jax.jit(enc_bn_unit, static_argnums=(2,))
 
         def dec_uni_unit(flat, off, T, h, w, F, C, L, cols, baseline):
@@ -350,20 +320,27 @@ class TpuBitcoding:
         self._dec_uni_unit = jax.jit(
             dec_uni_unit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 
-        def dec_bn_unit(flat, off, tables, T, h, w, F, C, L, cols):
-            # unpad + decode scan + ungroup + levels lookup, one program
+        def dec_bn_unit(flat, off, ip, T, h, w, F, C, L, cols):
+            # unpad + in-program row build + decode scan + ungroup +
+            # levels lookup, ONE program
             rows = C * F * tc.layout_for(h * w, 1, T).ns_c
             words = _unpad_dev(flat, off, rows, cols)
+            tables = ic.bn_rows(ip, C, L)
             syms = tc.decode_channels(tables, words, L,
                                       tc.layout_for(h * w, C * F, T))
             return self._bn_levels[_ungroup_syms(syms, F, h, w)]
         self._dec_bn_unit = jax.jit(
             dec_bn_unit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 
-        def dec_coarse_channel(ct, w_coarse, c, T_c, h, w, F):
-            # channel c's coarse symbols (the fine builder's input);
-            # the channel row slice happens in-program
+        def _dec_syms_of(decoded, c):
+            # already-decoded channel symbols for the lambda chain
+            return tuple(decoded[..., j].reshape(-1) for j in range(c))
+
+        def dec_coarse_channel(ip, decoded, w_coarse, c, T_c, h, w, F):
+            # channel c's coarse rows (built in-program from IntParams
+            # + the decoded channels) + scan; channel row slice fused
             n = h * w
+            ct = ic.rgb_coarse_rows(ip, c, _dec_syms_of(decoded, c))
             nsc = tc.layout_for(n, 1, T_c).ns_c
             wc = jax.lax.slice_in_dim(w_coarse, c * F * nsc,
                                       (c + 1) * F * nsc, axis=0)
@@ -371,14 +348,16 @@ class TpuBitcoding:
                 ct, wc, tc.N_COARSE,
                 tc.layout_for(n, F, T_c)).reshape(-1)
         self._dec_coarse_channel = jax.jit(
-            dec_coarse_channel, static_argnums=(2, 3, 4, 5, 6))
+            dec_coarse_channel, static_argnums=(3, 4, 5, 6, 7))
 
-        def dec_fine_channel(ft, w_fine, a_flat, decoded, c, T_f, h, w,
-                            F):
-            # channel c's fine scan + s = 16a + b reconstruction +
-            # write into the running `decoded` image, one program.
-            # (Table builds stay standalone contract programs.)
+        def dec_fine_channel(ip, w_fine, a_flat, decoded, c, T_f, h, w,
+                             F):
+            # channel c's conditional fine rows + scan + s = 16a + b
+            # reconstruction + write into the running symbol image,
+            # one program
             n = h * w
+            ft = ic.rgb_fine_rows(ip, c, _dec_syms_of(decoded, c),
+                                  a_flat)
             nsf = tc.layout_for(n, 1, T_f).ns_c
             wf = jax.lax.slice_in_dim(w_fine, c * F * nsf,
                                       (c + 1) * F * nsf, axis=0)
@@ -386,32 +365,43 @@ class TpuBitcoding:
                                     tc.layout_for(n, F, T_f))
             s_c = ((a_flat.reshape(F, h, w) << tc.FINE_BITS)
                    | b_.reshape(F, h, w))
-            return decoded.at[..., c].set(s_c.astype(jnp.float32))
+            return decoded.at[..., c].set(s_c)
         self._dec_fine_channel = jax.jit(
             dec_fine_channel, static_argnums=(4, 5, 6, 7, 8))
 
-        def enc_rgb_units(cts, fts, target, T):
+        self._zeros_i32 = jax.jit(
+            lambda shape: jnp.zeros(shape, jnp.int32),
+            static_argnums=(0,))
+
+        def enc_rgb_units(ip, target, T):
             # both scale-0/RGB units (coarse + fine) in ONE program:
-            # split, table concat, symbol grouping, and the two scans.
-            # (Same sound-contract note as enc_bn_unit: tables come from
-            # the standalone builder programs shared with decode.)
+            # symbol split, per-channel 2-edge lookups with the lambda
+            # chain on target symbols, grouping, and the two scans —
+            # no rows anywhere
             F, h, w, _ = target.shape
             lay = tc.layout_for(h * w, 3 * F, T)
-            a = target.astype(jnp.int32) >> tc.FINE_BITS
-            bsym = (target.astype(jnp.int32)
-                    & ((1 << tc.FINE_BITS) - 1))
-            ct = jnp.concatenate(cts, 0)
-            ft = jnp.concatenate(fts, 0)
-            wc, lc = tc.encode_channels(ct, _group_syms(a),
-                                        tc.N_COARSE, lay)
-            wf, lf = tc.encode_channels(ft, _group_syms(bsym),
-                                        1 << tc.FINE_BITS, lay)
+            t_i = target.astype(jnp.int32)
+            a = t_i >> tc.FINE_BITS
+            bsym = t_i & ((1 << tc.FINE_BITS) - 1)
+            sc_, fc_, sf_, ff_ = [], [], [], []
+            for c in range(3):
+                dec = tuple(t_i[..., j].reshape(-1) for j in range(c))
+                a_c = a[..., c].reshape(-1)
+                b_c = bsym[..., c].reshape(-1)
+                s1, f1 = ic.rgb_coarse_lookup(ip, c, dec, a_c)
+                s2, f2 = ic.rgb_fine_lookup(ip, c, dec, a_c, b_c)
+                sc_.append(s1), fc_.append(f1)
+                sf_.append(s2), ff_.append(f2)
+            wc, lc = tc.encode_sf(jnp.concatenate(sc_),
+                                  jnp.concatenate(fc_), lay)
+            wf, lf = tc.encode_sf(jnp.concatenate(sf_),
+                                  jnp.concatenate(ff_), lay)
             return wc, lc, wf, lf
-        self._enc_rgb_units = jax.jit(enc_rgb_units, static_argnums=(3,))
+        self._enc_rgb_units = jax.jit(enc_rgb_units, static_argnums=(2,))
 
     def _canary(self) -> int:
         return contract_canary(self._rgb, self._bn, self.cfg.q.C,
-                               self.cfg.prob.K)
+                               self.cfg.prob.K, self.coder_topk)
 
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
         if self._device is not None:
@@ -517,32 +507,23 @@ class TpuBitcoding:
         for scale in reversed(range(S)):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
-                    ls, dec_F_prev = self._get_P[scale](
+                    ip, dec_F_prev = self._get_P(scale, self.coder_topk)(
                         self.params, bn_prev, dec_F_prev)
-                    _sync(ls[0])
+                    _sync(ip.p)
                 if scale == 0:
                     target = x  # the uint8 upload; split on device
                 else:
                     target = per_scale[scale - 1][0]
                     bn_prev = per_scale[scale - 1][1]
                 n = target.shape[1] * target.shape[2]
-                bld = self._builders()
-                with self.times.run("tables+rans"):
+                with self.times.run("lookups+rans"):
                     T_u = tc.t_policy(n, self.coder_profile)
                     if scale == 0 or baseline:
-                        # RGB targets, two-level: coarse then fine, both
-                        # lambda-conditioned on the true channel values.
-                        # Table builders stay standalone (the shared
-                        # float contract); both scans fuse into one
-                        # dispatch.
-                        tf = self._tf_of(target)
-                        a_flat = self._coarse_of(target)
-                        cts = [bld["coarse"][c](ls, tf)
-                               for c in range(3)]
-                        fts = [bld["fine"][c](ls, tf, a_flat[c])
-                               for c in range(3)]
+                        # RGB targets, two-level: coarse + fine 2-edge
+                        # lookups (lambda chain on the true channel
+                        # symbols) + both scans, ONE dispatch
                         wc, lc, wf, lf = self._enc_rgb_units(
-                            cts, fts, target, T_u)
+                            ip, target, T_u)
                         units.append((wc, lc))
                         units_C.append(3)
                         units_T.append(T_u)
@@ -550,9 +531,8 @@ class TpuBitcoding:
                         units_C.append(3)
                         units_T.append(T_u)
                     else:
-                        tables = bld["bn"](ls)
                         units.append(self._enc_bn_unit(
-                            tables, target, T_u))
+                            ip, target, T_u))
                         units_C.append(C_bn)
                         units_T.append(T_u)
                 _sync(units[-1][0])
@@ -627,7 +607,7 @@ class TpuBitcoding:
                 with open(pout, "wb") as fout:
                     fout.write(MAGIC)
                     fout.write(struct.pack("<BBBB", self.VERSION, S, F,
-                                           0))
+                                           self.coder_topk & 0xFF))
                     fout.write(struct.pack("<I", self._canary()))
                     fout.write(struct.pack("<4H", *pad_tuples[b]))
                     fout.write(struct.pack("<HH", H, W))
@@ -707,7 +687,13 @@ class TpuBitcoding:
             raise DecodeError(
                 f"decoding {B} files of fbatch {F} together would change "
                 f"float programs; decode in groups of <= {F}")
-        want = self._canary()
+        topks = {hdr["topk"] for hdr in headers}
+        if len(topks) != 1:
+            raise DecodeError("decode_batch needs files with one "
+                              f"coder topk (got {sorted(topks)})")
+        topk = topks.pop()
+        want = contract_canary(self._rgb, self._bn, self.cfg.q.C,
+                               self.cfg.prob.K, topk)
         for pin, hdr in zip(pins, headers):
             if hdr["canary"] != want:
                 raise DecodeError(
@@ -715,7 +701,6 @@ class TpuBitcoding:
                     f"{hdr['canary']:#010x}, this build {want:#010x}) — "
                     "the file was encoded under a different XLA build/"
                     "platform lowering; decoding would corrupt pixels")
-        bld = self._builders()
 
         C_bn = self.cfg.q.C
 
@@ -818,17 +803,17 @@ class TpuBitcoding:
         for scale in reversed(range(S)):
             with self.times.prefix_scope(f"[{scale}]"):
                 with self.times.run("get_P"):
-                    ls, dec_F_prev = self._get_P[scale](
+                    ip, dec_F_prev = self._get_P(scale, topk)(
                         self.params, bn_prev, dec_F_prev)
-                    _sync(ls[0])
+                    _sync(ip.p)
                 hs, ws_ = H >> scale, W >> scale
-                with self.times.run("tables+rans"):
+                with self.times.run("rows+rans"):
                     if scale == 0 or baseline:
                         w_coarse, T_c = unit_words(ui, 3)
                         w_fine, T_f = unit_words(ui + 1, 3)
                         ui += 2
-                        rgb = self._decode_rgb(ls, w_coarse, w_fine, F,
-                                               hs, ws_, T_c, T_f, bld)
+                        rgb = self._decode_rgb(ip, w_coarse, w_fine, F,
+                                               hs, ws_, T_c, T_f)
                         if scale == 0:
                             # uint8 on device: the decoded image crosses
                             # the host link at 1 byte/subpixel, not 4
@@ -838,9 +823,8 @@ class TpuBitcoding:
                     else:
                         off, cols_b, T_u = unit_geom(ui, C_bn)
                         ui += 1
-                        tables = bld["bn"](ls)
                         bn_prev = self._dec_bn_unit(
-                            flat_dev, off, tables, T_u, hs, ws_, F,
+                            flat_dev, off, ip, T_u, hs, ws_, F,
                             C_bn, self._bn.L, cols_b)
                     _sync(imgs if scale == 0 else bn_prev)
 
@@ -859,24 +843,20 @@ class TpuBitcoding:
             out.append(im)
         return out
 
-    def _decode_rgb(self, ls, w_coarse, w_fine, F, hs, ws, T_c, T_f,
-                    bld):
-        """Channel-sequential two-level RGB decode with lambda
-        conditioning: per channel, decode the coarse symbol a against
-        16-entry tables, build the conditional fine tables from a,
-        decode b, and reconstruct s = 16a + b. Table builders run
-        batched at the physical fbatch (v4 determinism contract); the
-        rANS scans stay fused across the batch."""
-        decoded = self._zeros_f32((F, hs, ws, 3))
+    def _decode_rgb(self, ip, w_coarse, w_fine, F, hs, ws, T_c, T_f):
+        """Channel-sequential two-level RGB decode with the lambda
+        chain on decoded SYMBOLS: per channel, build the 16-entry
+        coarse rows in-program and decode a, build the conditional fine
+        rows from a and decode b, reconstruct s = 16a + b. All exact-
+        integer math (ops.int_coder) — rows equal the encoder's 2-edge
+        lookups by construction."""
+        decoded = self._zeros_i32((F, hs, ws, 3))
         for c in range(3):
-            ct = bld["coarse"][c](ls, decoded)           # (F*n, 16)
-            a_flat = self._dec_coarse_channel(ct, w_coarse, c, T_c,
-                                              hs, ws, F)
-            ft = bld["fine"][c](ls, decoded, a_flat)
-            decoded = self._dec_fine_channel(ft, w_fine, a_flat,
+            a_flat = self._dec_coarse_channel(ip, decoded, w_coarse, c,
+                                              T_c, hs, ws, F)
+            decoded = self._dec_fine_channel(ip, w_fine, a_flat,
                                              decoded, c, T_f, hs, ws, F)
-        # float with exact integer values 0..255 (the per-channel
-        # programs write reconstructed symbols); callers cast as needed
+        # int32 symbols 0..255; callers cast as needed
         return decoded
 
 
@@ -938,12 +918,10 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
     with open(pin, "rb") as fin:
         if fin.read(4) != MAGIC:
             raise DecodeError("bad magic")
-        version, S, F, flags = struct.unpack("<BBBB", fin.read(4))
+        version, S, F, topk = struct.unpack("<BBBB", fin.read(4))
         if version != TpuBitcoding.VERSION:
             raise DecodeError(f"file is format v{version}; this is "
                               f"the v{TpuBitcoding.VERSION} (TPU) decoder")
-        if flags != 0:
-            raise DecodeError(f"unknown v7 flags {flags:#x}")
         if S != expect_scales:
             raise DecodeError("scale count mismatch")
         if F not in FBATCHES:
@@ -956,7 +934,7 @@ def _read_file(pin: str, expect_scales: int, n_units: int):
             units.append(_read_unit(fin))
             _expect_sep(fin)
     return {"S": S, "H": H, "W": W, "F": F, "pad": pad_tuple,
-            "canary": canary}, units
+            "canary": canary, "topk": topk}, units
 
 
 def _expect_sep(fin):

@@ -11,11 +11,12 @@ no (P, K, L) intermediate ever touches HBM.
     q(p, l)    = floor(clip(cdf, 0, 1) * (65536 - 2L))
 
 The (cheap, integer) + 2l / edge-0 pin finish runs in XLA afterwards
-(ops.tpu_coder v7 table spec). Since format v7 these kernels are a
-BENCH-ONLY A/B path (L3C_PALLAS_CDF never affects the codec): they
-measured 2.5-4.5x slower than XLA's own fusion on the real chip, and
-the v7 encoder needs no row tables at all. Kept for microbenching and
-as the starting point if a future chip shifts the balance.
+(ops.tpu_coder table spec). These kernels are a BENCH-ONLY A/B path
+(L3C_PALLAS_CDF never affects the codec): they measured 2.5-4.5x
+slower than XLA's own fusion on the real chip, and since format v8 the
+codec's coding CDF is the exact-integer evaluator (ops.int_coder), not
+a float kernel at all. Kept for microbenching and as the starting
+point if a future chip shifts the balance.
 
 On non-TPU backends the kernel runs in interpret mode (tests compare it
 against the pure-XLA path).

@@ -370,6 +370,13 @@ def encode_channels(tables: jnp.ndarray, syms: jnp.ndarray, L: int,
     One fused scan over all channels' streams (per-channel aligned)."""
     start, freq = table_lookup_symbol(
         tables.reshape(lay.C, lay.n, L), syms.reshape(lay.C, lay.n), L)
+    return encode_sf(start, freq, lay)
+
+
+def encode_sf(start: jnp.ndarray, freq: jnp.ndarray, lay: StreamLayout):
+    """rANS-encode PRECOMPUTED (start, freq) u32 pairs (channel-major
+    (C*n,) or (C, n)) — the v8 2-edge-lookup encode path, which never
+    materializes L-wide tables."""
     mask = jnp.asarray(_mask_for(lay))
     return rans_encode(_to_streams(start, lay), _to_streams(freq, lay),
                        mask)

@@ -1,4 +1,4 @@
-"""Per-stage device-cost map of the v7 codec at the bench shape.
+"""Per-stage device-cost map of the v8 codec at the bench shape.
 
 Each jitted stage is dispatched N times back-to-back and synced ONCE at
 the end, so the ~50-100ms axon sync latency amortizes away and the
@@ -8,12 +8,12 @@ numbers approximate true device execution time. Run on the real chip:
 
 Stages (batch F=8, 512x512 RGB, flagship cr.cf, trained demo model):
   enc_forward        full encoder pyramid
-  get_P[s]           per-scale probability networks
-  enc rgb units      scale-0 fused 4-edge lookups + both rANS scans (v7)
-  enc bn unit[s]     scale>0 fused 2-edge lookups + rANS scan (v7)
-  coarse/fine tables scale-0 two-level DECODE row builds (3 channels)
-  bn tables          scale>0 decode mixture rows
-  dec scan           decode-side rANS scan
+  get_P[s]           per-scale probability networks + int-param pack
+  enc rgb units      scale-0 fused 2-edge lookups + both rANS scans
+  enc bn unit[s]     scale>0 fused 2-edge lookups + rANS scan
+  dec rgb rows       scale-0 DECODE row builds (coarse+fine, 3 ch)
+  dec bn rows[s]     scale>0 decode mixture rows
+  dec scan           decode-side rANS scan (rows prebuilt)
 """
 import os
 import sys
@@ -32,6 +32,7 @@ def main():
     from l3c_tpu.codec.bitcoding2 import TpuBitcoding, _group_syms
     from l3c_tpu.config import MsConfig
     from l3c_tpu.models.network import MultiscaleNetwork
+    from l3c_tpu.ops import int_coder as ic
     from l3c_tpu.ops import tpu_coder as tc
     from l3c_tpu.train.saver import Restorer
     from l3c_tpu.utils.jaxtools import ensure_compile_cache
@@ -46,6 +47,7 @@ def main():
                          jnp.zeros((1, 16, 16, 3), jnp.float32)))
     _, params = Restorer(zoo).restore_params_only(params_t)
     bc = TpuBitcoding(cfg, net, params)
+    topk = bc.coder_topk
 
     rng = np.random.RandomState(0)
     yy, xx = np.mgrid[0:512, 0:512]
@@ -78,69 +80,75 @@ def main():
                     out_of=lambda r: r[0][0])
 
     per_scale = bc._enc_forward(bc.params, x)
-    bld = bc._builders()
 
-    # per-scale get_P, coldest first like the codec runs them
+    # per-scale get_P (+ int-param pack), coldest first like the codec
     dec_F_prev = None
     bn_prev = per_scale[S - 1][1]
-    ls_by_scale = {}
+    ip_by_scale = {}
     for scale in reversed(range(S)):
         def gp(scale=scale, bn=bn_prev, dF=dec_F_prev):
-            return bc._get_P[scale](bc.params, bn, dF)
-        total += timeit(f"get_P[{scale}]", gp,
-                        out_of=lambda r: r[0][0])
-        ls, dec_F_prev = gp()
-        ls_by_scale[scale] = ls
+            return bc._get_P(scale, topk)(bc.params, bn, dF)
+        total += timeit(f"get_P[{scale}]", gp, out_of=lambda r: r[0].p)
+        ip, dec_F_prev = gp()
+        ip_by_scale[scale] = ip
         if scale > 0:
             bn_prev = per_scale[scale - 1][1]
 
-    # --- table builders (shared by encode and decode)
-    ls0 = ls_by_scale[0]
+    ip0 = ip_by_scale[0]
     n = 512 * 512
     T_u = tc.t_policy(n)
-    tf = jax.jit(lambda u8: u8.astype(jnp.float32))(x)
-    split = jax.jit(lambda u8: (u8.astype(jnp.int32) >> tc.FINE_BITS,
-                                u8.astype(jnp.int32)
-                                & ((1 << tc.FINE_BITS) - 1)))
-    a, bsym = split(x)
-    total += timeit("coarse tables x3 (scale 0)",
-                    lambda: [bld["coarse"][c](ls0, tf) for c in range(3)],
-                    out_of=lambda r: r[-1])
-    total += timeit(
-        "fine tables x3 (scale 0)",
-        lambda: [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
-                 for c in range(3)],
-        out_of=lambda r: r[-1])
-    for scale in range(1, S):
-        ls = ls_by_scale[scale]
-        total += timeit(f"bn tables (scale {scale})",
-                        lambda ls=ls: bld["bn"](ls))
 
-    # --- scans
-    cts = [bld["coarse"][c](ls0, tf) for c in range(3)]
-    fts = [bld["fine"][c](ls0, tf, a[..., c].reshape(F * n))
-           for c in range(3)]
+    # --- encode units (fused 2-edge lookups + scans; no tables)
     total += timeit("enc rgb units (scale 0, 2 scans)",
-                    lambda: bc._enc_rgb_units(cts, fts, x, T_u),
+                    lambda: bc._enc_rgb_units(ip0, x, T_u),
                     out_of=lambda r: r[0])
     for scale in range(1, S):
-        ls = ls_by_scale[scale]
+        ip = ip_by_scale[scale]
         tgt = per_scale[scale - 1][0]
-        tb = bld["bn"](ls)
         T_s = tc.t_policy(tgt.shape[1] * tgt.shape[2])
         total += timeit(
             f"enc bn unit (scale {scale})",
-            lambda tb=tb, tgt=tgt, T_s=T_s: bc._enc_bn_unit(tb, tgt,
+            lambda ip=ip, tgt=tgt, T_s=T_s: bc._enc_bn_unit(ip, tgt,
                                                             T_s),
             out_of=lambda r: r[0])
-    ct = jnp.concatenate(cts, 0)
-    words_c, _ = bc._encode_unit(ct, _group_syms(a), tc.N_COARSE, n,
-                                 3 * F, T_u)
+
+    # --- decode-side row builds
+    split = jax.jit(lambda u8: (u8.astype(jnp.int32) >> tc.FINE_BITS,
+                                u8.astype(jnp.int32)))
+    a, t_i = split(x)
+
+    def rgb_rows(ip0=ip0, t_i=t_i, a=a):
+        outs = []
+        for c in range(3):
+            dec = tuple(t_i[..., j].reshape(-1) for j in range(c))
+            outs.append(ic.rgb_coarse_rows(ip0, c, dec))
+            outs.append(ic.rgb_fine_rows(ip0, c, dec,
+                                         a[..., c].reshape(-1)))
+        return outs
+    rgb_rows_j = jax.jit(rgb_rows)
+    total += timeit("dec rgb rows (coarse+fine x3)",
+                    lambda: rgb_rows_j(), out_of=lambda r: r[-1])
+    bn_rows_j = jax.jit(lambda ip: ic.bn_rows(ip, cfg.q.C, cfg.q.L))
+    for scale in range(1, S):
+        total += timeit(f"dec bn rows (scale {scale})",
+                        lambda s=scale: bn_rows_j(ip_by_scale[s]))
+
+    # --- decode scan (rows prebuilt so the scan is isolated)
+    ct = jnp.concatenate(
+        [np.asarray(r) for r in rgb_rows_j()[0::2]], 0)
+    enc_c = jax.jit(lambda ip, a: tc.encode_sf(
+        *[jnp.concatenate(v) for v in zip(
+            *[ic.rgb_coarse_lookup(ip, c, tuple(
+                t_i[..., j].reshape(-1) for j in range(c)),
+                a[..., c].reshape(-1)) for c in range(3)])],
+        tc.layout_for(n, 3 * F, T_u)))
+    words_c, _ = enc_c(ip0, a)
+    dec_scan = jax.jit(lambda tbl, w: tc.decode_channels(
+        tbl, w, tc.N_COARSE, tc.layout_for(n, F, T_u)))
     total += timeit(
         "dec scan coarse full-width",
-        lambda: bc._decode_unit(ct[: F * n], words_c[: words_c.shape[0]
-                                                     // 3], tc.N_COARSE,
-                                n, F, T_u),
+        lambda: dec_scan(ct[: F * n],
+                         words_c[: words_c.shape[0] // 3]),
         out_of=lambda r: r)
 
     print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms")
