@@ -304,17 +304,22 @@ def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
 # ------------------------------------------------------------- decoding
 
 
-def rans_decode(tables_t: jnp.ndarray, words: jnp.ndarray,
+def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
                 mask_t: jnp.ndarray, L: int) -> jnp.ndarray:
     """Decode streams against per-position CDF rows.
 
-    tables_t: (steps, U, NS, L) uint16 rows (scan xs)
+    tables:   (NS, T, L) uint16 rows in STREAM ORDER — each scan step
+              dynamic-slices its (NS, U, L) block in-body, so no
+              transposed (steps, U, NS, L) copy of the full table set
+              ever materializes in HBM (it used to double the decode's
+              table traffic)
     words:    (NS, W) uint16 stream words (decode order)
     mask_t:   (steps, U, NS) bool
     Returns syms (NS, T) int32.
     """
     ns, W = words.shape
-    n_steps = tables_t.shape[0]
+    n_steps = mask_t.shape[0]
+    tbl = tables.reshape(ns, n_steps, UNROLL, L)
     x0 = (words[:, 0].astype(jnp.uint32)
           | (words[:, 1].astype(jnp.uint32) << 16))
     cur0 = jnp.full((ns,), 2, jnp.int32)
@@ -331,10 +336,12 @@ def rans_decode(tables_t: jnp.ndarray, words: jnp.ndarray,
 
     def step(carry, xs_t):
         x, cur = carry
-        rows_u, m_u = xs_t
+        t_idx, m_u = xs_t
+        rows_u = jax.lax.dynamic_slice_in_dim(
+            tbl, t_idx, 1, axis=1)[:, 0]                    # (NS, U, L)
         ss = []
         for u in range(UNROLL):
-            row = rows_u[u].astype(jnp.int32)               # (NS, L)
+            row = rows_u[:, u].astype(jnp.int32)            # (NS, L)
             m = m_u[u]
             cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
             le = row <= cf[:, None]
@@ -356,7 +363,9 @@ def rans_decode(tables_t: jnp.ndarray, words: jnp.ndarray,
             ss.append(s)
         return (x, cur), jnp.stack(ss)
 
-    (_, _), syms = jax.lax.scan(step, (x0, cur0), (tables_t, mask_t))
+    (_, _), syms = jax.lax.scan(
+        step, (x0, cur0),
+        (jnp.arange(n_steps, dtype=jnp.int32), mask_t))
     return syms.reshape(n_steps * UNROLL, ns).T.astype(jnp.int32)
 
 
@@ -382,25 +391,15 @@ def encode_sf(start: jnp.ndarray, freq: jnp.ndarray, lay: StreamLayout):
                        mask)
 
 
-def _arrange_tables(tables: jnp.ndarray, lay_rows: int, T: int,
-                    L: int) -> jnp.ndarray:
-    """(rows*T, L) padded tables -> (steps, U, rows, L) scan xs."""
-    n_steps = T // UNROLL
-    t = tables.reshape(lay_rows, n_steps, UNROLL, L)
-    return t.transpose(1, 2, 0, 3)
-
-
 def decode_channels(tables: jnp.ndarray, words: jnp.ndarray, L: int,
                     lay: StreamLayout) -> jnp.ndarray:
     """tables (C*n, L) u16, words (lanes, T+2) -> syms (C, n) int32."""
     t = tables.reshape(lay.C, lay.n, L)
     t = jnp.pad(t, ((0, 0), (0, lay.pad), (0, 0)))
-    tables_t = _arrange_tables(t.reshape(lay.lanes * lay.T, L),
-                               lay.lanes, lay.T, L)
     mask = jnp.asarray(_mask_for(lay))
     mask_t = mask.reshape(lay.lanes, lay.T // UNROLL, UNROLL)\
         .transpose(1, 2, 0)
-    syms = rans_decode(tables_t, words, mask_t, L)
+    syms = rans_decode(t.reshape(lay.lanes, lay.T, L), words, mask_t, L)
     return _from_streams(syms, lay)
 
 
