@@ -167,6 +167,9 @@ def test_heavy_summaries_emit_images(tmp_path):
              log_fn=lambda *_: None)
     assert any(k.startswith("train_heavy/bn/") for k in w.images)
     assert any(k.startswith("train/costs/") for k in w.scalars)
+    # predicted-vs-observed symbol-distribution figures per scale
+    # (reference multiscale_blueprint.py:100-111); scale 0 included
+    assert any(k.startswith("train_heavy/histo_out/") for k in w.figures)
 
 
 def test_heavy_summaries_emit_activation_histograms(tmp_path):

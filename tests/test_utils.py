@@ -80,6 +80,7 @@ class FakeWriter:
         self.scalars = {}
         self.images = {}
         self.histos = {}
+        self.figures = {}
 
     def add_scalar(self, tag, v, step):
         self.scalars[tag] = (v, step)
@@ -92,6 +93,9 @@ class FakeWriter:
 
     def add_histogram_counts(self, tag, counts, edges, step):
         self.histos[tag] = (np.asarray(counts), np.asarray(edges))
+
+    def add_figure(self, tag, fig, step):
+        self.figures[tag] = fig
 
 
 def test_summarizer_gating():
