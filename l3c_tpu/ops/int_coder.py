@@ -186,18 +186,37 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
     pi, mu, inv_s, lam = dmll_mod.pack_coder_params(spec, l, C)
     K = pi.shape[-1]
     if topk and K > topk:
-        top_pi, idx = jax.lax.top_k(pi, topk)
+        # Iterative one-hot argmax, NOT lax.top_k: top_k lowers to a
+        # full sort plus gathers whose (…, C, K)-minor layouts pad
+        # 17-68x on TPU (measured 38 GB HBM for the bench-shape get_P,
+        # an OOM); k rounds of max + first-match one-hot + masked sum
+        # fuse into the surrounding elementwise work instead. Ties
+        # break to the lowest index, same as stable top_k.
+        ohs = []
+        avail = pi                       # softmax probs, all >= 0
+        for _ in range(topk):
+            m = jnp.max(avail, axis=-1, keepdims=True)
+            oh = jnp.logical_and(avail >= m,
+                                 jnp.cumsum((avail >= m).astype(
+                                     jnp.int32), axis=-1) == 1)
+            ohs.append(oh)
+            avail = jnp.where(oh, np.float32(-1.0), avail)
+
+        def sel(x, masks):
+            return jnp.stack(
+                [jnp.sum(x * m.astype(x.dtype), axis=-1)
+                 for m in masks], axis=-1)
+
+        top_pi = sel(pi, ohs)
         pi = top_pi / jnp.sum(top_pi, axis=-1, keepdims=True)
-        mu = jnp.take_along_axis(mu, idx, axis=-1)
-        inv_s = jnp.take_along_axis(inv_s, idx, axis=-1)
+        mu = sel(mu, ohs)
+        inv_s = sel(inv_s, ohs)
         if lam is not None:
             # lam slot j conditions TARGET channel (1, 2, 2): each slot
             # follows its target channel's component selection
             lam = jnp.stack(
-                [jnp.take_along_axis(lam[..., 0, :], idx[..., 1, :], -1),
-                 jnp.take_along_axis(lam[..., 1, :], idx[..., 2, :], -1),
-                 jnp.take_along_axis(lam[..., 2, :], idx[..., 2, :], -1)],
-                axis=-2)
+                [sel(lam[..., j, :], [oh[..., t, :] for oh in ohs])
+                 for j, t in enumerate((1, 2, 2))], axis=-2)
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
     a_hat = jnp.clip(inv_s * bw, np.float32(A_MIN), np.float32(A_MAX))
