@@ -117,17 +117,21 @@ def main():
                                 u8.astype(jnp.int32)))
     a, t_i = split(x)
 
-    def rgb_rows(ip0=ip0, t_i=t_i, a=a):
-        outs = []
-        for c in range(3):
-            dec = tuple(t_i[..., j].reshape(-1) for j in range(c))
-            outs.append(ic.rgb_coarse_rows(ip0, c, dec))
-            outs.append(ic.rgb_fine_rows(ip0, c, dec,
-                                         a[..., c].reshape(-1)))
-        return outs
-    rgb_rows_j = jax.jit(rgb_rows)
-    total += timeit("dec rgb rows (coarse+fine x3)",
-                    lambda: rgb_rows_j(), out_of=lambda r: r[-1])
+    # one program per channel (the fused 6-builder program is too large
+    # for the remote-compile tunnel, which repeatedly dropped it)
+    def rgb_rows_c(c, ip0=ip0, t_i=t_i, a=a):
+        dec = tuple(t_i[..., j].reshape(-1) for j in range(c))
+        return (ic.rgb_coarse_rows(ip0, c, dec),
+                ic.rgb_fine_rows(ip0, c, dec, a[..., c].reshape(-1)))
+    rows_js = [jax.jit(lambda c=c: rgb_rows_c(c)) for c in range(3)]
+    dt_rows = 0.0
+    for c in range(3):
+        dt_rows += timeit(f"dec rgb rows (coarse+fine, ch {c})",
+                          rows_js[c], out_of=lambda r: r[-1])
+    total += dt_rows
+
+    def rgb_rows_j():
+        return [x for c in range(3) for x in rows_js[c]()]
     bn_rows_j = jax.jit(lambda ip: ic.bn_rows(ip, cfg.q.C, cfg.q.L))
     for scale in range(1, S):
         total += timeit(f"dec bn rows (scale {scale})",
