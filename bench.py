@@ -109,6 +109,51 @@ def main():
                 return False
             best_at = ts.index(min(ts))
             return len(ts) - 1 - best_at >= patience
+
+        # L3C_BENCH_DUPLEX=1: steady-state serving pipeline — encode
+        # batch i while decoding batch i-1 so the tunnel's two
+        # directions overlap (enc is upload-heavy: 6.3 MB pixels up,
+        # 2.4 MB streams down; dec is the mirror image). Per round, B
+        # images complete the FULL enc+dec composite, so throughput is
+        # B*mp/t_round — same task accounting as the phase-split mode
+        # (where t_round = t_enc + t_dec).
+        if os.environ.get("L3C_BENCH_DUPLEX", "0") == "1":
+            rounds = []
+            eh = bc.encode_batch_async(
+                imgs, [os.path.join(d, f"dx0_{b}.l3c") for b in range(B)])
+            dh = bc.decode_batch_async(warm_ps)
+            i = 0
+            while True:
+                t0 = time.perf_counter()
+                nxt_e = nxt_d = None
+                if i + 1 < n_rounds and not stop_early(rounds):
+                    nxt_e = bc.encode_batch_async(
+                        imgs, [os.path.join(d, f"dx{i + 1}_{b}.l3c")
+                               for b in range(B)])
+                    nxt_d = bc.decode_batch_async(warm_ps)
+                bc.encode_batch_finish(eh)
+                outs = bc.decode_batch_finish(dh)
+                rounds.append(time.perf_counter() - t0)
+                for im, o in zip(imgs, outs):
+                    assert np.array_equal(o, im)
+                eh, dh = nxt_e, nxt_d
+                i += 1
+                if eh is None:
+                    break
+            t_round = min(rounds)
+            mp = 512 * 512 / 1e6
+            mps = B * mp / t_round
+            baseline_mps = mp / 0.202
+            print(json.dumps({
+                "metric": ("encode+decode throughput, 512x512 RGB, "
+                           f"batch {B}, full pipeline (duplex)"),
+                "value": round(mps, 4),
+                "unit": "MP/s",
+                "vs_baseline": round(mps / baseline_mps, 4),
+            }))
+            print(f"# duplex rounds (ms): "
+                  f"{[f'{r*1000:.0f}' for r in rounds]}", file=sys.stderr)
+            return
         handle = bc.encode_batch_async(
             imgs, [os.path.join(d, f"r0_{b}.l3c") for b in range(B)])
         for i in range(n_rounds):

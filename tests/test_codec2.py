@@ -242,3 +242,34 @@ def test_unpad_dev_layout():
         np.testing.assert_array_equal(out[r, :min(n, cols)],
                                       dense[pos:pos + min(n, cols)])
         pos += n
+
+
+def test_duplex_interleaved_async(setup, tmp_path):
+    """Encode and decode handles in flight simultaneously (the serving
+    duplex pipeline bench.py L3C_BENCH_DUPLEX measures): batch i's
+    encode dispatched while batch i-1's decode is outstanding, both
+    finished out of dispatch order, all round-trips bit-exact."""
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    imgs = [_rand_img(16, 16, seed=40 + i) for i in range(2)]
+    warm = [str(tmp_path / f"w{i}.l3c") for i in range(2)]
+    bc.encode_batch(imgs, warm)
+    eh = bc.encode_batch_async(
+        imgs, [str(tmp_path / f"e0_{i}.l3c") for i in range(2)])
+    dh = bc.decode_batch_async(warm)
+    eh2 = bc.encode_batch_async(
+        imgs, [str(tmp_path / f"e1_{i}.l3c") for i in range(2)])
+    dh2 = bc.decode_batch_async(warm)
+    bc.encode_batch_finish(eh)
+    outs = bc.decode_batch_finish(dh)
+    for im, o in zip(imgs, outs):
+        np.testing.assert_array_equal(o, im)
+    bc.encode_batch_finish(eh2)
+    outs = bc.decode_batch_finish(dh2)
+    for im, o in zip(imgs, outs):
+        np.testing.assert_array_equal(o, im)
+    # and the freshly encoded round-0 files decode
+    outs = bc.decode_batch([str(tmp_path / f"e0_{i}.l3c")
+                            for i in range(2)])
+    for im, o in zip(imgs, outs):
+        np.testing.assert_array_equal(o, im)
