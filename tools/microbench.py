@@ -41,7 +41,7 @@ def main():
     cfg = MsConfig(compute_dtype="bfloat16")
     net = MultiscaleNetwork(cfg)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zoo = os.path.join(root, "models_zoo", "0816_2141 cr oi_offline")
+    zoo = os.path.join(root, "models_zoo", "0817_1604 cr oi_offline r3long")
     params_t = jax.eval_shape(
         lambda: net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 16, 16, 3), jnp.float32)))
