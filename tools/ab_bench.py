@@ -42,27 +42,54 @@ def main():
     imgs = [np.clip(base + rng.randint(-8, 8, base.shape), 0,
                     255).astype(np.uint8)[None] for _ in range(B)]
 
-    # (name, coder profile)
-    CONFIGS = [
-        ("speed", "speed"),
-        ("balanced", "balanced"),
-        ("size", "size"),
-    ]
+    # (name, setter) — setters mutate tpu_coder module globals; each
+    # variant gets its OWN TpuBitcoding so its jit closures trace under
+    # its own T/UNROLL (fresh traces; the persistent compile cache still
+    # dedups identical HLO across processes). Select variants with
+    # L3C_AB=name1,name2 (default: the coder profiles).
+    def _profile(p):
+        def s():
+            tc.CODER_PROFILE = p
+            tc._T_FORCED = False
+            tc.UNROLL = 8
+        return s
+
+    def _forced(T, unroll=8):
+        def s():
+            tc.T_STREAM = T
+            tc._T_FORCED = True
+            tc.UNROLL = unroll
+        return s
+
+    ALL = {
+        "speed": _profile("speed"),
+        "balanced": _profile("balanced"),
+        "size": _profile("size"),
+        "T2048": _forced(2048),
+        "T1024": _forced(1024),
+        "T512": _forced(512),
+        "T256": _forced(256),
+        "T1024u16": _forced(1024, 16),
+        "T512u16": _forced(512, 16),
+        "T2048u16": _forced(2048, 16),
+    }
+    names = os.environ.get("L3C_AB", "speed,balanced,size").split(",")
+    CONFIGS = [(n, ALL[n]) for n in names]
 
     codecs = []
-    for name, profile in CONFIGS:
+    for name, setter in CONFIGS:
+        setter()
         bc = TpuBitcoding(cfg, net, params)
-        codecs.append((name, profile, bc))
+        codecs.append((name, setter, bc))
 
-    def set_profile(profile):
-        tc.CODER_PROFILE = profile
-        tc._T_FORCED = False
+    def set_profile(setter):
+        setter()
 
     results = {name: {"enc": [], "dec": []} for name, _ in CONFIGS}
     with tempfile.TemporaryDirectory() as d:
         # warmup / compile every variant
-        for name, profile, bc in codecs:
-            set_profile(profile)
+        for name, setter, bc in codecs:
+            set_profile(setter)
             ps = [os.path.join(d, f"w_{name}_{b}.l3c") for b in range(B)]
             bc.encode_batch(imgs, ps)
             outs = bc.decode_batch(ps)
