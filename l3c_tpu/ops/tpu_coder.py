@@ -107,6 +107,11 @@ PROB_BITS = 16
 # at 15k training steps, so DISABLED (0) by default).
 CODER_TOPK = int(__import__("os").environ.get("L3C_CODER_TOPK", "0"))
 
+# Encode-scan division strategy: "float" = exact two-f32-division
+# divmod (_divmod_by_freq; bit-identical by proof, far cheaper than the
+# VPU's expanded u32 divide), "int" = hardware // and % (A/B baseline).
+ENC_DIV = __import__("os").environ.get("L3C_ENC_DIV", "float")
+
 
 class StreamLayout(NamedTuple):
     """Stream geometry for C channels of n symbols each (per-channel
@@ -243,6 +248,61 @@ def table_lookup_symbol(table: jnp.ndarray, syms: jnp.ndarray, L: int
 # ------------------------------------------------------------- encoding
 
 
+def _divmod_by_freq(x1: jnp.ndarray, fs: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact (x1 // fs, x1 % fs) for the rANS encode step, computed with
+    two f32 divisions instead of a u32 hardware division (which XLA
+    expands into a long shift-subtract sequence on the VPU — the single
+    most expensive op in the encode scan body).
+
+    Exactness argument (all quantities are exact f32 values):
+      inputs:  1 <= fs < 2^16;  x1 < fs * 2^16  (the rANS renorm
+               invariant: either x1 < fs<<16 held pre-step, or x1 was
+               just shifted to < 2^16 <= fs<<16).
+      split    x1 = hi * 2^16 + lo,  hi < fs (from the invariant),
+               lo < 2^16. hi and fs are integers < 2^16 => exact f32;
+               hi * 65536f is a power-of-two scale => exact f32.
+      step 1   q2 = floor(fl(hi*2^16 / fs)). True quotient < 2^16 (as
+               hi < fs), so q2's magnitude keeps f32 ulp <= 2^-7: even
+               a several-ulp division error is < 1/64 absolute, so
+               floor is off by AT MOST 1 either way. The integer fixup
+               below (remainder computed exactly in u32) corrects +-1.
+      step 2   r2 = hi*2^16 - q2*fs < fs, num = r2 + lo < 2^17, exact
+               f32; q3 = floor(fl(num / fs)) with true quotient < 2^17
+               => same <=+-1 floor error, same exact fixup.
+      result   x1 // fs = q2 + q3,  x1 % fs = num - q3*fs.
+    A wrapped (negative) u32 remainder after an overestimated quotient
+    is detected via r >= 2^31 (legit remainders are < 2^16).
+    Masked-off lanes (padding, fs pinned to 1) may violate the
+    invariant; their outputs are finite garbage and discarded by the
+    caller's `where`. Verified exhaustively against numpy divmod in
+    tests/test_codec2.py (adversarial boundaries + random sweep).
+    """
+    big = jnp.uint32(0x80000000)
+    hi_sc = x1 & jnp.uint32(0xFFFF0000)          # hi * 2^16, exact
+    lo = x1 & jnp.uint32(0xFFFF)
+    fsf = fs.astype(jnp.float32)
+    q2 = jnp.floor((x1 >> 16).astype(jnp.float32) * jnp.float32(65536.0)
+                   / fsf).astype(jnp.uint32)
+    r2 = hi_sc - q2 * fs                          # may wrap if q2 high
+    over = r2 >= big
+    q2 = jnp.where(over, q2 - 1, q2)
+    r2 = jnp.where(over, r2 + fs, r2)
+    under = r2 >= fs
+    q2 = jnp.where(under, q2 + 1, q2)
+    r2 = jnp.where(under, r2 - fs, r2)
+    num = r2 + lo                                 # < 2^17
+    q3 = jnp.floor(num.astype(jnp.float32) / fsf).astype(jnp.uint32)
+    r3 = num - q3 * fs
+    over = r3 >= big
+    q3 = jnp.where(over, q3 - 1, q3)
+    r3 = jnp.where(over, r3 + fs, r3)
+    under = r3 >= fs
+    q3 = jnp.where(under, q3 + 1, q3)
+    r3 = jnp.where(under, r3 - fs, r3)
+    return q2 + q3, r3
+
+
 def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
                 mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode (NS, T) u32 (start, freq) pairs into rANS streams.
@@ -271,7 +331,11 @@ def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
             w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
             x1 = jnp.where(emit, x >> 16, x)
             fs = jnp.maximum(f, 1)  # padded slots carry f=0
-            x2 = ((x1 // fs) << 16) + (x1 % fs) + st
+            if ENC_DIV == "int":      # hardware u32 divide (A/B only)
+                q, r = x1 // fs, x1 % fs
+            else:
+                q, r = _divmod_by_freq(x1, fs)
+            x2 = (q << 16) + r + st
             x = jnp.where(m, x2, x)
             emits.append(emit)
             words.append(w)

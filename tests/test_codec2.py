@@ -273,3 +273,38 @@ def test_duplex_interleaved_async(setup, tmp_path):
                             for i in range(2)])
     for im, o in zip(imgs, outs):
         np.testing.assert_array_equal(o, im)
+
+
+def test_divmod_by_freq_exact():
+    """The f32-division divmod used in the encode scan must equal
+    integer divmod on every input satisfying the rANS invariant
+    (x1 < fs * 2**16), including adversarial boundaries."""
+    from l3c_tpu.ops.tpu_coder import _divmod_by_freq
+
+    rng = np.random.RandomState(7)
+    fs = rng.randint(1, 1 << 16, size=200_000).astype(np.uint32)
+    # x1 uniform in [0, fs * 2^16)
+    x1 = (rng.randint(0, 1 << 16, size=fs.size).astype(np.uint64)
+          * fs + rng.randint(0, 1 << 16, size=fs.size)).astype(np.uint64)
+    x1 = np.minimum(x1, fs.astype(np.uint64) * (1 << 16) - 1)
+    # adversarial: exact multiples, off-by-one around multiples,
+    # maximal x1 for its fs, tiny and maximal fs
+    ks = rng.randint(0, 1 << 16, size=50_000).astype(np.uint64)
+    fs_a = rng.randint(1, 1 << 16, size=ks.size).astype(np.uint32)
+    mult = np.minimum(ks * fs_a, fs_a.astype(np.uint64) * (1 << 16) - 1)
+    cases_x = [x1, mult, np.maximum(mult, 1) - 1,
+               np.minimum(mult + 1, fs_a.astype(np.uint64) * (1 << 16) - 1),
+               fs_a.astype(np.uint64) * (1 << 16) - 1]
+    cases_f = [fs, fs_a, fs_a, fs_a, fs_a]
+    for lo_f in (1, 2, 3, (1 << 16) - 1):
+        f_c = np.full(70_000, lo_f, np.uint32)
+        x_c = rng.randint(0, int(lo_f) << 16, size=f_c.size).astype(
+            np.uint64)
+        cases_x.append(x_c)
+        cases_f.append(f_c)
+    X = np.concatenate(cases_x).astype(np.uint32)
+    F = np.concatenate(cases_f).astype(np.uint32)
+    q, r = jax.jit(_divmod_by_freq)(jnp.asarray(X), jnp.asarray(F))
+    q, r = np.asarray(q), np.asarray(r)
+    np.testing.assert_array_equal(q, X // F)
+    np.testing.assert_array_equal(r, X % F)
