@@ -37,12 +37,28 @@ def main(argv=None):
                         "like noise (robustness augmentation)")
     p.add_argument("--extra_train_dirs", default=None,
                    help="colon-separated dirs of ready tiles to mix in")
+    p.add_argument("--synth_families", type=int, default=0,
+                   help="generate N procedural photo-statistics "
+                        "families (data.synth) and mix them into the "
+                        "offline corpus as extra training sources")
+    p.add_argument("--synth_tiles", type=int, default=40,
+                   help="tiles per synthetic family")
     flags = p.parse_args(argv)
 
     if flags.offline:
         from ..data.offline_corpus import build_corpus
         extra = (flags.extra_train_dirs.split(":")
-                 if flags.extra_train_dirs else None)
+                 if flags.extra_train_dirs else [])
+        if flags.synth_families:
+            from ..data.synth import FAMILIES, generate_families
+            fams = list(FAMILIES)[: flags.synth_families]
+            synth_dir = os.path.join(flags.out_root, "synth")
+            n = len(generate_families(synth_dir, flags.synth_tiles,
+                                      n=flags.tile, families=fams))
+            print(f"[synth] {n} tiles across {len(fams)} families "
+                  f"-> {synth_dir}")
+            extra = extra + [synth_dir]
+        extra = extra or None
         train_dir, val_dir, _ = build_corpus(
             flags.out_root, tile=flags.tile, noise_frac=flags.noise_frac,
             extra_train_dirs=extra)

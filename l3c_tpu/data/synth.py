@@ -1,0 +1,247 @@
+"""Synthetic photo-statistics source families (zero-egress corpus aid).
+
+The round-3 family-count ablation (RESULTS.md) showed held-out bpsp
+improves monotonically with the number of DISTINCT source families at a
+fixed image budget — the 23-source offline corpus, not the framework,
+is the flagship's generalization ceiling. With no photo corpus
+available offline, this module manufactures additional *families*:
+procedural generators whose outputs share natural images' second-order
+statistics (≈1/f^2 power spectra, strong cross-channel correlation,
+piecewise-smooth regions separated by sharp edges, sensor noise) while
+each family keeps its own distinctive higher-order structure, exactly
+like distinct photographic sources do.
+
+Counterpart of the reference's unbounded Open Images download
+(prep_openimages.sh:39-53) in spirit: more independent sources. Use via
+`prep_pipeline --synth_dir` or `generate_families` directly; tiles are
+uint8 RGB, ready for `build_corpus(extra_train_dirs=[...])`.
+
+All generators are pure numpy (one host core): FFT-filtered noise and
+closed-form fields only, ~10 ms per 256^2 tile.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List
+
+import numpy as np
+
+
+def _rgb_mix(rng: np.random.RandomState, fields: np.ndarray,
+             sat: float = 1.0) -> np.ndarray:
+    """Mix ≥1 scalar fields (k, h, w) into correlated RGB in [0, 1].
+
+    Natural photos have highly correlated channels (luma dominates);
+    draw a random luma direction plus small chroma components."""
+    k = fields.shape[0]
+    luma = rng.uniform(0.7, 1.0, (1, 3))
+    chroma = rng.normal(0.0, 0.25 * sat, (k, 3))
+    chroma[0] *= 0.0
+    m = luma + chroma                                    # (k, 3)
+    rgb = np.tensordot(fields, m, axes=(0, 0))           # (h, w, 3)
+    lo, hi = np.percentile(rgb, [1, 99])
+    rgb = (rgb - lo) / max(hi - lo, 1e-6)
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def _spectral_noise(rng: np.random.RandomState, n: int, alpha: float,
+                    aniso: float = 0.0, theta: float = 0.0
+                    ) -> np.ndarray:
+    """Gaussian noise shaped to a 1/f^alpha amplitude spectrum.
+
+    aniso stretches the spectral falloff along direction theta
+    (anisotropic textures: wood grain, brushed metal, water)."""
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    if aniso:
+        c, s = np.cos(theta), np.sin(theta)
+        fu = fx * c + fy * s
+        fv = -fx * s + fy * c
+        f = np.sqrt((fu * (1 + aniso)) ** 2 + fv ** 2)
+    else:
+        f = np.sqrt(fx ** 2 + fy ** 2)
+    f_safe = np.where(f > 0, f, 1.0)
+    amp = np.where(f > 0, f_safe ** (-alpha / 2.0), 0.0)
+    spec = (rng.normal(size=(n, n // 2 + 1))
+            + 1j * rng.normal(size=(n, n // 2 + 1))) * amp
+    x = np.fft.irfft2(spec, s=(n, n))
+    return (x - x.mean()) / (x.std() + 1e-9)
+
+
+def _smooth01(x: np.ndarray) -> np.ndarray:
+    lo, hi = x.min(), x.max()
+    return (x - lo) / max(hi - lo, 1e-9)
+
+
+def _fam_spectral(rng, n):
+    """Pure 1/f^alpha color noise — the photographic power-spectrum
+    prior with no object structure."""
+    a = rng.uniform(1.6, 2.4)
+    fields = np.stack([_spectral_noise(rng, n, a) for _ in range(3)])
+    return _rgb_mix(rng, fields)
+
+
+def _fam_terrain(rng, n):
+    """Ridged fBm: |1/f^2 noise| creases look like rock/terrain."""
+    base = _spectral_noise(rng, n, rng.uniform(1.9, 2.3))
+    ridged = 1.0 - np.abs(base) / (np.abs(base).max() + 1e-9)
+    detail = _spectral_noise(rng, n, 1.2) * 0.15
+    return _rgb_mix(rng, np.stack([ridged, detail, base * 0.3]))
+
+
+def _fam_aniso(rng, n):
+    """Anisotropic grain (wood / brushed metal / water)."""
+    th = rng.uniform(0, np.pi)
+    g = _spectral_noise(rng, n, rng.uniform(1.5, 2.0),
+                        aniso=rng.uniform(4.0, 12.0), theta=th)
+    rings = np.sin(g * rng.uniform(2, 6)
+                   + _spectral_noise(rng, n, 2.5) * 2.0)
+    return _rgb_mix(rng, np.stack([g, rings * 0.4]), sat=0.6)
+
+
+def _fam_cells(rng, n):
+    """Voronoi-like cellular regions: piecewise-smooth patches with
+    sharp boundaries (object-edge statistics)."""
+    k = rng.randint(12, 40)
+    cy = rng.uniform(0, n, k)
+    cx = rng.uniform(0, n, k)
+    yy, xx = np.mgrid[0:n, 0:n]
+    d = ((yy[None] - cy[:, None, None]) ** 2
+         + (xx[None] - cx[:, None, None]) ** 2)
+    idx = np.argmin(d, axis=0)
+    vals = rng.uniform(0, 1, k)
+    field = vals[idx]
+    shade = _spectral_noise(rng, n, 2.0) * 0.25
+    d1 = np.sort(d, axis=0)
+    edge = np.sqrt(d1[1]) - np.sqrt(d1[0])          # ridge distance
+    edge = np.exp(-edge / rng.uniform(1.0, 4.0)) * 0.5
+    return _rgb_mix(rng, np.stack([field, shade, -edge]))
+
+
+def _fam_shapes(rng, n):
+    """Layered soft-edged discs/rectangles with gradient lighting —
+    man-made-scene statistics (flat regions, straight edges)."""
+    img = np.zeros((n, n))
+    yy, xx = np.mgrid[0:n, 0:n]
+    grad = (yy * rng.normal(0, 1) + xx * rng.normal(0, 1)) / n
+    img += grad
+    for _ in range(rng.randint(6, 18)):
+        cy, cx = rng.uniform(0, n, 2)
+        r = rng.uniform(0.05, 0.4) * n
+        soft = rng.uniform(0.5, 6.0)
+        if rng.rand() < 0.5:
+            m = 1 / (1 + np.exp((np.hypot(yy - cy, xx - cx) - r) / soft))
+        else:
+            m = (1 / (1 + np.exp((np.abs(yy - cy) - r) / soft))
+                 * 1 / (1 + np.exp((np.abs(xx - cx) - r * rng.uniform(
+                     0.3, 3.0)) / soft)))
+        img = img * (1 - 0.8 * m) + m * rng.uniform(-1, 1)
+    tex = _spectral_noise(rng, n, 1.8) * 0.1
+    return _rgb_mix(rng, np.stack([img, tex]))
+
+
+def _fam_sky(rng, n):
+    """Smooth vertical gradient + low-frequency clouds (sky/sea)."""
+    yy = np.linspace(-1, 1, n)[:, None] * np.ones((1, n))
+    clouds = _spectral_noise(rng, n, rng.uniform(2.4, 3.0))
+    haze = _spectral_noise(rng, n, 2.0) * 0.2
+    return _rgb_mix(rng, np.stack([yy * rng.uniform(0.5, 1.5),
+                                   np.maximum(clouds, 0), haze]),
+                    sat=1.4)
+
+
+def _fam_bokeh(rng, n):
+    """Out-of-focus photo statistics: blurred bright discs over a
+    smooth dark field."""
+    img = _spectral_noise(rng, n, 2.2) * 0.2 - 0.5
+    yy, xx = np.mgrid[0:n, 0:n]
+    for _ in range(rng.randint(8, 30)):
+        cy, cx = rng.uniform(0, n, 2)
+        r = rng.uniform(0.02, 0.12) * n
+        m = 1 / (1 + np.exp((np.hypot(yy - cy, xx - cx) - r)
+                            / rng.uniform(1.5, 5.0)))
+        img += m * rng.uniform(0.3, 1.2)
+    return _rgb_mix(rng, np.stack([img]), sat=1.6)
+
+
+def _fam_waves(rng, n):
+    """Interfering sinusoids (fabric weave / ripples / moire)."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    img = np.zeros((n, n))
+    for _ in range(rng.randint(2, 5)):
+        fy, fx = rng.uniform(-0.15, 0.15, 2)
+        img += np.sin(2 * np.pi * (fy * yy + fx * xx)
+                      + rng.uniform(0, 2 * np.pi)) * rng.uniform(.3, 1)
+    warp = _spectral_noise(rng, n, 2.0)
+    return _rgb_mix(rng, np.stack([img, warp * 0.4]), sat=0.5)
+
+
+def _fam_grain(rng, n):
+    """Fine high-frequency grain over a near-flat base (paper, skin,
+    plaster) — trains the fine-scale sensor-noise regime."""
+    base = _spectral_noise(rng, n, 2.6) * 0.3
+    grain = _spectral_noise(rng, n, rng.uniform(0.3, 0.8)) * \
+        rng.uniform(0.1, 0.35)
+    return _rgb_mix(rng, np.stack([base, grain]), sat=0.4)
+
+
+def _fam_patch_mosaic(rng, n):
+    """Axis-aligned panels with distinct textures (buildings,
+    documents, collages): hard straight edges + per-region stats."""
+    img = _spectral_noise(rng, n, 2.0)
+    for _ in range(rng.randint(3, 8)):
+        y0, x0 = rng.randint(0, n - 8, 2)
+        h = rng.randint(8, n - y0)
+        w = rng.randint(8, n - x0)
+        a = rng.uniform(1.0, 2.8)
+        img[y0:y0 + h, x0:x0 + w] = (
+            _spectral_noise(rng, n, a)[:h, :w] * rng.uniform(0.3, 1.0)
+            + rng.uniform(-1, 1))
+    return _rgb_mix(rng, np.stack([img]))
+
+
+FAMILIES: Dict[str, Callable] = {
+    "spectral": _fam_spectral,
+    "terrain": _fam_terrain,
+    "aniso": _fam_aniso,
+    "cells": _fam_cells,
+    "shapes": _fam_shapes,
+    "sky": _fam_sky,
+    "bokeh": _fam_bokeh,
+    "waves": _fam_waves,
+    "grain": _fam_grain,
+    "mosaic": _fam_patch_mosaic,
+}
+
+
+def render_tile(family: str, rng: np.random.RandomState,
+                n: int = 256, noise_frac: float = 0.5) -> np.ndarray:
+    """One uint8 RGB tile of a family, with sensor-noise augmentation
+    matching offline_corpus._tiles_from's policy."""
+    rgb = FAMILIES[family](rng, n)
+    # mild random gamma (exposure) like real camera pipelines
+    rgb = rgb ** rng.uniform(0.8, 1.25)
+    u8 = (rgb * 255.0 + 0.5).astype(np.uint8)
+    if rng.rand() < noise_frac:
+        k = int(rng.choice([1, 2, 4, 6]))
+        u8 = np.clip(u8.astype(np.int16)
+                     + rng.randint(-k, k + 1, u8.shape),
+                     0, 255).astype(np.uint8)
+    return u8
+
+
+def generate_families(out_dir: str, tiles_per_family: int = 40,
+                      n: int = 256, seed: int = 0,
+                      families: List[str] | None = None) -> List[str]:
+    """Write PNG tiles for each family into out_dir; returns paths."""
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for fi, fam in enumerate(families or list(FAMILIES)):
+        rng = np.random.RandomState(seed * 1000 + fi)
+        for t in range(tiles_per_family):
+            p = os.path.join(out_dir, f"synth_{fam}_{t:04d}.png")
+            if not os.path.isfile(p):
+                Image.fromarray(render_tile(fam, rng, n)).save(p)
+            paths.append(p)
+    return paths

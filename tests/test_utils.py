@@ -202,3 +202,26 @@ def test_images_cached_cli(tmp_path):
     # cached listing is served without rescanning
     ps = images_mod.ImagesCached(str(d), pkl).paths()
     assert len(ps) == 3
+
+
+def test_synth_families(tmp_path):
+    """Procedural source families: every generator yields a valid uint8
+    RGB tile, deterministic under a fixed seed, and generate_families
+    writes loadable PNGs (data/synth.py; corpus-diversity aid for the
+    reference's Open Images download, prep_openimages.sh:39-53)."""
+    import numpy as np
+    from PIL import Image
+    from l3c_tpu.data import synth
+
+    for fam in synth.FAMILIES:
+        a = synth.render_tile(fam, np.random.RandomState(3), n=64)
+        b = synth.render_tile(fam, np.random.RandomState(3), n=64)
+        assert a.shape == (64, 64, 3) and a.dtype == np.uint8, fam
+        np.testing.assert_array_equal(a, b)
+        assert a.std() > 5, (fam, "degenerate tile")
+
+    paths = synth.generate_families(str(tmp_path), tiles_per_family=2,
+                                    n=32, families=["spectral", "sky"])
+    assert len(paths) == 4
+    im = np.asarray(Image.open(paths[0]))
+    assert im.shape == (32, 32, 3)

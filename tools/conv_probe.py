@@ -111,6 +111,14 @@ def main():
     timeit("enc_forward (pyramid, flagship)",
            lambda: bc._enc_forward(bc.params, xi),
            flops=0.0, bytes_=0.0)
+    # hypothesis: per-dispatch cost scales with the number of argument
+    # buffers (param-leaf marshaling through the axon client). Baking
+    # the params in as jaxpr constants removes every param argument.
+    p_dev = bc.params
+    baked = jax.jit(lambda v: bc._enc_forward_impl(p_dev, v))
+    timeit("enc_forward, params baked as consts", lambda: baked(xi))
+    n_leaves = len(jax.tree_util.tree_leaves(p_dev))
+    print(f"# param leaves: {n_leaves}")
     per_scale = bc._enc_forward(bc.params, xi)
     bn2 = per_scale[cfg.num_scales - 1][1]
     gp2 = bc._get_P(cfg.num_scales - 1, 0)
