@@ -232,13 +232,6 @@ class TpuBitcoding:
         self._enc_forward = jax.jit(self._enc_forward_impl)
         self._enc_head = jax.jit(self._enc_head_impl,
                                  static_argnums=(2,))
-        # float view of the RGB target for the table builders (the image
-        # is uploaded ONCE as uint8; float32/int32 views never cross the
-        # host link)
-        self._to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
-        self._sub_mean = jax.jit(
-            lambda x: x.astype(jnp.float32)
-            - jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32))
         # (rows, cols) padded unit view out of the DENSE uploaded word
         # buffer (u32 row-offset header + packed stream words). hdr_off
         # stays a traced scalar so content-dependent offsets never
@@ -336,28 +329,29 @@ class TpuBitcoding:
             # already-decoded channel symbols for the lambda chain
             return tuple(decoded[..., j].reshape(-1) for j in range(c))
 
-        def dec_coarse_channel(ip, decoded, w_coarse, c, T_c, h, w, F):
-            # channel c's coarse rows (built in-program from IntParams
-            # + the decoded channels) + scan; channel row slice fused
+        def dec_rgb_channel(ip, decoded, w_coarse, w_fine, c, T_c, T_f,
+                            h, w, F, out="syms"):
+            # channel c's FULL two-level decode in ONE program: coarse
+            # rows (built in-program from IntParams + decoded channels)
+            # + coarse scan -> a, conditional fine rows from a + fine
+            # scan -> b, s = 16a + b written into the running symbol
+            # image. Exact-integer rows (ops.int_coder) are program-
+            # shape-independent, so fusing the two levels cannot change
+            # the CDFs — it only removes a dispatch round-trip per
+            # channel (6 -> 3 programs on the decode critical path).
+            # out (static): the last channel also folds the consumer
+            # cast — "u8" (final image) / "bn" (RGB-baseline mean
+            # shift) — saving one more dispatch.
             n = h * w
-            ct = ic.rgb_coarse_rows(ip, c, _dec_syms_of(decoded, c))
+            dec = _dec_syms_of(decoded, c)
+            ct = ic.rgb_coarse_rows(ip, c, dec)
             nsc = tc.layout_for(n, 1, T_c).ns_c
             wc = jax.lax.slice_in_dim(w_coarse, c * F * nsc,
                                       (c + 1) * F * nsc, axis=0)
-            return tc.decode_channels(
+            a_flat = tc.decode_channels(
                 ct, wc, tc.N_COARSE,
                 tc.layout_for(n, F, T_c)).reshape(-1)
-        self._dec_coarse_channel = jax.jit(
-            dec_coarse_channel, static_argnums=(3, 4, 5, 6, 7))
-
-        def dec_fine_channel(ip, w_fine, a_flat, decoded, c, T_f, h, w,
-                             F):
-            # channel c's conditional fine rows + scan + s = 16a + b
-            # reconstruction + write into the running symbol image,
-            # one program
-            n = h * w
-            ft = ic.rgb_fine_rows(ip, c, _dec_syms_of(decoded, c),
-                                  a_flat)
+            ft = ic.rgb_fine_rows(ip, c, dec, a_flat)
             nsf = tc.layout_for(n, 1, T_f).ns_c
             wf = jax.lax.slice_in_dim(w_fine, c * F * nsf,
                                       (c + 1) * F * nsf, axis=0)
@@ -365,9 +359,15 @@ class TpuBitcoding:
                                     tc.layout_for(n, F, T_f))
             s_c = ((a_flat.reshape(F, h, w) << tc.FINE_BITS)
                    | b_.reshape(F, h, w))
-            return decoded.at[..., c].set(s_c)
-        self._dec_fine_channel = jax.jit(
-            dec_fine_channel, static_argnums=(4, 5, 6, 7, 8))
+            decoded = decoded.at[..., c].set(s_c)
+            if out == "u8":                   # final scale-0 channel
+                return decoded.astype(jnp.uint8)
+            if out == "bn":                   # RGB-baseline inner scale
+                mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
+                return decoded.astype(jnp.float32) - mean
+            return decoded
+        self._dec_rgb_channel = jax.jit(
+            dec_rgb_channel, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 
         self._zeros_i32 = jax.jit(
             lambda shape: jnp.zeros(shape, jnp.int32),
@@ -812,14 +812,17 @@ class TpuBitcoding:
                         w_coarse, T_c = unit_words(ui, 3)
                         w_fine, T_f = unit_words(ui + 1, 3)
                         ui += 2
-                        rgb = self._decode_rgb(ip, w_coarse, w_fine, F,
-                                               hs, ws_, T_c, T_f)
+                        # uint8 on device for scale 0: the decoded
+                        # image crosses the host link at 1 byte per
+                        # subpixel; the cast/mean-shift is fused into
+                        # the last channel's program
+                        rgb = self._decode_rgb(
+                            ip, w_coarse, w_fine, F, hs, ws_, T_c, T_f,
+                            out="u8" if scale == 0 else "bn")
                         if scale == 0:
-                            # uint8 on device: the decoded image crosses
-                            # the host link at 1 byte/subpixel, not 4
-                            imgs = self._to_u8(rgb)
+                            imgs = rgb
                         else:
-                            bn_prev = self._sub_mean(rgb)
+                            bn_prev = rgb
                     else:
                         off, cols_b, T_u = unit_geom(ui, C_bn)
                         ui += 1
@@ -843,20 +846,20 @@ class TpuBitcoding:
             out.append(im)
         return out
 
-    def _decode_rgb(self, ip, w_coarse, w_fine, F, hs, ws, T_c, T_f):
+    def _decode_rgb(self, ip, w_coarse, w_fine, F, hs, ws, T_c, T_f,
+                    out="syms"):
         """Channel-sequential two-level RGB decode with the lambda
         chain on decoded SYMBOLS: per channel, build the 16-entry
         coarse rows in-program and decode a, build the conditional fine
         rows from a and decode b, reconstruct s = 16a + b. All exact-
         integer math (ops.int_coder) — rows equal the encoder's 2-edge
-        lookups by construction."""
+        lookups by construction. out: consumer cast fused into the
+        last channel's program ("u8" image / "bn" mean-shifted)."""
         decoded = self._zeros_i32((F, hs, ws, 3))
         for c in range(3):
-            a_flat = self._dec_coarse_channel(ip, decoded, w_coarse, c,
-                                              T_c, hs, ws, F)
-            decoded = self._dec_fine_channel(ip, w_fine, a_flat,
-                                             decoded, c, T_f, hs, ws, F)
-        # int32 symbols 0..255; callers cast as needed
+            decoded = self._dec_rgb_channel(
+                ip, decoded, w_coarse, w_fine, c, T_c, T_f,
+                hs, ws, F, out if c == 2 else "syms")
         return decoded
 
 

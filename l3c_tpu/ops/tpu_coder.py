@@ -107,6 +107,11 @@ PROB_BITS = 16
 # at 15k training steps, so DISABLED (0) by default).
 CODER_TOPK = int(__import__("os").environ.get("L3C_CODER_TOPK", "0"))
 
+# Encode word packer: "shift" = log-rotation stream compaction
+# (default), "sort" = bitonic sort network over (pos, word) pairs (A/B
+# baseline). Both are bit-identical packings; execution-only knob.
+PACKER = __import__("os").environ.get("L3C_PACKER", "shift")
+
 # Encode-scan division strategy: "float" = exact two-f32-division
 # divmod (_divmod_by_freq; bit-identical by proof, far cheaper than the
 # VPU's expanded u32 divide), "int" = hardware // and % (A/B baseline).
@@ -347,22 +352,66 @@ def rans_encode(start: jnp.ndarray, freq: jnp.ndarray,
     emits = emits.reshape(T, ns).T
     words = words.reshape(T, ns).T
     n_emit = jnp.sum(emits, axis=1).astype(jnp.int32)       # (NS,)
-    # Pack emitted words into decode order. The emitted word from chrono
-    # position t lands at stream index (n_emit - cumsum_t): a per-lane
-    # variable-position write. A row scatter is a slow serial unit on
-    # TPU; instead SORT (pos, word) pairs along the stream axis — the
-    # bitonic sort network is pure wide VPU compare/select work. Dropped
-    # (non-emit) slots get a big sentinel key and sink to the row tail.
-    cum = jnp.cumsum(emits.astype(jnp.int32), axis=1)       # inclusive
-    pos = jnp.where(emits, n_emit[:, None] - cum, T + 1)
-    _, sorted_words = jax.lax.sort(
-        (pos, words.astype(jnp.int32)), dimension=1, num_keys=1)
+    # Pack emitted words into decode order: the word emitted at chrono
+    # position t lands at stream index n_emit - cum_t, i.e. reading the
+    # emitted words in REVERSE chrono order compacts them to the front.
+    # A per-lane variable-position write is a scatter (slow serial unit
+    # on TPU); two scatter-free packers:
+    #   sort    — bitonic network over (pos, word) pairs, O(T log^2 T)
+    #             compare/selects (the original v5 packer)
+    #   shift   — log2(T) passes of static-rotation compaction (default;
+    #             O(T log T) selects, ~4x less element work; proof at
+    #             _compact_left)
+    if PACKER == "sort":
+        cum = jnp.cumsum(emits.astype(jnp.int32), axis=1)   # inclusive
+        pos = jnp.where(emits, n_emit[:, None] - cum, T + 1)
+        _, packed = jax.lax.sort(
+            (pos, words.astype(jnp.int32)), dimension=1, num_keys=1)
+    else:
+        packed = _compact_left(words[:, ::-1].astype(jnp.int32),
+                               emits[:, ::-1])
     state = jnp.stack(
         [(xf & jnp.uint32(0xFFFF)).astype(jnp.uint16),
          (xf >> 16).astype(jnp.uint16)], axis=1)            # (NS, 2)
-    out = jnp.concatenate([state, sorted_words.astype(jnp.uint16)],
+    out = jnp.concatenate([state, packed.astype(jnp.uint16)],
                           axis=1)
     return out[:, : T + 2], n_emit + 2
+
+
+def _compact_left(a: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """Stable left-compaction of kept elements along axis 1 without a
+    sort or scatter: log2(T) passes of static rotations + selects.
+
+    Element t's target is t - s_t where s_t = #dropped before t
+    (exclusive cumsum of ~keep), non-decreasing in t. Shifts are applied
+    bit by bit, LSB first; after pass k every kept element sits at
+    t - (s_t mod 2^(k+1)).
+
+    No-collision invariant: for kept t < u, the new positions differ by
+    (u - t) - (s_u mod 2^(k+1) - s_t mod 2^(k+1)); since t is kept,
+    s_u - s_t <= u - t - 1, and a wrapped mod difference only moves u
+    further right — so kept elements never collide. A mover lands only
+    on dropped/vacated slots (it overwrites them); a slot vacated with
+    nothing incoming is killed (S := 0) so its stale copy can never
+    move again. Slots past the kept count hold garbage; callers slice
+    by the true per-lane lengths.
+    """
+    T = a.shape[1]
+    s = jnp.cumsum((~keep).astype(jnp.int32), axis=1) \
+        - (~keep).astype(jnp.int32)                   # exclusive
+    s = jnp.where(keep, s, 0)                          # dropped: inert
+    k = 0
+    while (1 << k) < T:
+        step_ = 1 << k
+        bit = (s >> k) & 1                             # mover this pass
+        inc = jnp.roll(bit, -step_, axis=1)            # arriving at i
+        inc = inc.at[:, -step_:].set(0)                # no wraparound
+        a = jnp.where(inc == 1, jnp.roll(a, -step_, axis=1), a)
+        s_in = jnp.roll(s, -step_, axis=1) - step_     # applied 2^k
+        # vacated with nothing incoming -> dead (bit set, no arrival)
+        s = jnp.where(inc == 1, s_in, jnp.where(bit == 1, 0, s))
+        k += 1
+    return a
 
 
 # ------------------------------------------------------------- decoding

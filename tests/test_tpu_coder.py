@@ -322,3 +322,57 @@ def test_lower_tail_absorption():
     ft = np.asarray(tc.rgb_fine_tables(spec, jnp.asarray(l), 0, 3, dec,
                                        a0), np.int64)[0]
     assert ft[0] == 0 and ft[1] - ft[0] > 60000, ft
+
+
+def test_compact_left_matches_reference():
+    """The log-rotation compaction must equal a numpy stable compaction
+    for arbitrary masks (random, all, none, alternating, blocks) —
+    garbage beyond each lane's kept count is excluded by slicing."""
+    import numpy as np
+    import jax.numpy as jnp
+    from l3c_tpu.ops.tpu_coder import _compact_left
+
+    rng = np.random.RandomState(0)
+    for T in (8, 64, 256, 1024):
+        masks = [rng.rand(6, T) < p for p in (0.0, 0.2, 0.5, 0.9, 1.0)]
+        alt = np.zeros((2, T), bool)
+        alt[0, ::2] = True
+        alt[1, 1::2] = True
+        blocks = np.zeros((2, T), bool)
+        blocks[0, : T // 3] = True
+        blocks[1, T // 2:] = True
+        for keep in masks + [alt, blocks]:
+            a = rng.randint(0, 1 << 16, keep.shape).astype(np.int32)
+            out = np.asarray(jax.jit(_compact_left)(
+                jnp.asarray(a), jnp.asarray(keep)))
+            for lane in range(keep.shape[0]):
+                want = a[lane][keep[lane]]
+                np.testing.assert_array_equal(out[lane][: want.size],
+                                              want, err_msg=f"T={T}")
+
+
+def test_packer_variants_bit_identical():
+    """sort- and shift-packers must produce identical streams."""
+    import numpy as np
+    import jax
+    from l3c_tpu.ops import tpu_coder as tc
+
+    rng = np.random.RandomState(1)
+    lanes, T = 16, 256
+    freq = rng.randint(1, 5000, size=(lanes, T)).astype(np.uint32)
+    start = np.minimum(rng.randint(0, 60000, size=(lanes, T)),
+                       65536 - freq).astype(np.uint32)
+    mask = rng.rand(lanes, T) < 0.97
+    outs = {}
+    for packer in ("sort", "shift"):
+        tc.PACKER = packer
+        w, l = jax.jit(tc.rans_encode)(jnp.asarray(start),
+                                       jnp.asarray(freq),
+                                       jnp.asarray(mask))
+        outs[packer] = (np.asarray(w), np.asarray(l))
+    tc.PACKER = "shift"
+    np.testing.assert_array_equal(outs["sort"][1], outs["shift"][1])
+    for lane in range(lanes):
+        n = outs["sort"][1][lane]
+        np.testing.assert_array_equal(outs["sort"][0][lane][:n],
+                                      outs["shift"][0][lane][:n])
