@@ -440,18 +440,33 @@ def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
 
     # Word reads are per-lane dynamic indices. A gather
     # (take_along_axis) on the (NS, W) array costs ~10 ns/element on
-    # TPU and dominated the whole decode (~65 us/symbol for 6k lanes =
-    # 99% of scan time in the profile). A ONE-HOT masked-max select is
-    # ~20x cheaper: pure lanes-wide VPU compare/select/reduce, no
-    # scatter/gather unit involvement.
-    w_iota = jnp.arange(W, dtype=jnp.int32)
-    words_i = words.astype(jnp.int32)
+    # TPU (20x a one-hot select), and a per-SYMBOL one-hot select is
+    # O(W) work per symbol — quadratic in stream length. Instead fetch
+    # a 16-word WINDOW once per scan STEP: each lane consumes at most
+    # UNROLL (<= 8) words per step, so the two 8-aligned chunks around
+    # cur cover every read of the step. The window fetch is the only
+    # O(W) pass (2 chunk one-hots); the per-symbol selects are one-hots
+    # over 16 — ~8x less select work at UNROLL=8.
+    n_wch = -(-(7 + UNROLL) // 8)          # window chunks (2 for U=8)
+    n_ch = -(-W // 8) + n_wch              # chunk overrun slack
+    words_ch = jnp.pad(words.astype(jnp.int32),
+                       ((0, 0), (0, n_ch * 8 - W))
+                       ).reshape(ns, n_ch, 8)
+    ch_iota = jnp.arange(n_ch, dtype=jnp.int32)
+    w16_iota = jnp.arange(8 * n_wch, dtype=jnp.int32)
 
     def step(carry, xs_t):
         x, cur = carry
         t_idx, m_u = xs_t
         rows_u = jax.lax.dynamic_slice_in_dim(
             tbl, t_idx, 1, axis=1)[:, 0]                    # (NS, U, L)
+        c0 = cur >> 3
+        win = jnp.concatenate(
+            [jnp.sum(jnp.where(
+                (ch_iota[None, :] == (c0 + j)[:, None])[..., None],
+                words_ch, 0), axis=1) for j in range(n_wch)],
+            axis=1)                               # (NS, 8 * n_wch)
+        loc = cur & 7                                        # (NS,)
         ss = []
         for u in range(UNROLL):
             row = rows_u[:, u].astype(jnp.int32)            # (NS, L)
@@ -467,12 +482,13 @@ def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
             x1 = f * (x >> 16) + (x & jnp.uint32(0xFFFF)) \
                 - start.astype(jnp.uint32)
             need = x1 < RANS_L
-            w = jnp.max(jnp.where(w_iota[None, :] == cur[:, None],
-                                  words_i, 0), axis=1)
+            w = jnp.max(jnp.where(w16_iota[None, :] == loc[:, None],
+                                  win, 0), axis=1)
             x2 = jnp.where(need, (x1 << 16) | w.astype(jnp.uint32), x1)
-            cur1 = cur + need.astype(jnp.int32)
+            upd = jnp.logical_and(m, need).astype(jnp.int32)
             x = jnp.where(m, x2, x)
-            cur = jnp.where(m, cur1, cur)
+            cur = cur + upd
+            loc = loc + upd
             ss.append(s)
         return (x, cur), jnp.stack(ss)
 

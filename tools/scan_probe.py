@@ -64,6 +64,39 @@ def main():
                 return tc.rans_encode(sd, fd, md)
             timeit(f"rans_encode lanes={lanes} T={T} div={div}",
                    jax.jit(enc))
+        tc.ENC_DIV = "float"
+        for packer in ("shift", "sort"):
+            tc.PACKER = packer
+
+            def enc(sd=sd, fd=fd, md=md):
+                return tc.rans_encode(sd, fd, md)
+            timeit(f"rans_encode lanes={lanes} T={T} pack={packer}",
+                   jax.jit(enc))
+        tc.PACKER = "shift"
+
+        # decode at the same geometry: uniform L=16 rows (realistic
+        # ~4 bit/sym consume rate), words produced by the encoder
+        L = 16
+        syms = rng.randint(0, L, size=(lanes, T)).astype(np.int32)
+        row = tc.uniform_cdf_row(L)                      # (L,)
+        tblr = jnp.asarray(np.broadcast_to(
+            row, (lanes * T, L)).copy())
+        st2, fr2 = jax.jit(
+            lambda t, s: tc.table_lookup_symbol(
+                t.reshape(lanes, T, L), s, L)
+        )(tblr, jnp.asarray(syms))
+        w2, l2 = jax.jit(tc.rans_encode)(st2, fr2, md)
+        maxw = int(np.asarray(l2).max())
+        wdev = jax.device_put(jnp.asarray(np.asarray(w2)[:, :maxw]))
+        tbl_dec = jax.device_put(tblr)
+        mask_t = jnp.asarray(
+            np.ones((T // tc.UNROLL, tc.UNROLL, lanes), bool))
+
+        def dec(tb=tbl_dec, wd=wdev, mt=mask_t):
+            return tc.rans_decode(
+                tb.reshape(lanes, T, L), wd, mt, L)
+        timeit(f"rans_decode lanes={lanes} T={T} W={maxw}",
+               jax.jit(dec))
 
 
 if __name__ == "__main__":
