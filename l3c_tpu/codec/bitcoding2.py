@@ -75,6 +75,7 @@ from .. import blueprint
 from ..config import MsConfig
 from ..models import dmll as dmll_mod
 from ..models import grids, layers
+from ..models.quantizer import levels_select
 from ..models.network import MultiscaleNetwork
 from ..ops import int_coder as ic
 from ..ops import tpu_coder as tc
@@ -309,7 +310,7 @@ class TpuBitcoding:
             if baseline:
                 mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
                 return syms.astype(jnp.float32) - mean
-            return self._bn_levels[syms]
+            return levels_select(self._bn_levels, syms)
         self._dec_uni_unit = jax.jit(
             dec_uni_unit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 
@@ -321,7 +322,8 @@ class TpuBitcoding:
             tables = ic.bn_rows(ip, C, L)
             syms = tc.decode_channels(tables, words, L,
                                       tc.layout_for(h * w, C * F, T))
-            return self._bn_levels[_ungroup_syms(syms, F, h, w)]
+            return levels_select(self._bn_levels,
+                                 _ungroup_syms(syms, F, h, w))
         self._dec_bn_unit = jax.jit(
             dec_bn_unit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 

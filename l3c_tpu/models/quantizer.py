@@ -41,6 +41,23 @@ def quantize(x: jax.Array, levels: jax.Array, sigma: float) -> QuantOut:
     phi_soft = jax.nn.softmax(-sigma * d, axis=-1)      # (N,H,W,C,L)
     x_soft = jnp.sum(levels * phi_soft, axis=-1)        # (N,H,W,C)
     syms = jnp.argmin(d, axis=-1).astype(jnp.int32)     # (N,H,W,C)
-    x_hard = levels[syms]                               # (N,H,W,C)
+    x_hard = levels_select(levels, syms)                # (N,H,W,C)
     x_ste = x_soft + jax.lax.stop_gradient(x_hard - x_soft)
     return QuantOut(bn=x_ste, bn_q=x_hard, syms=syms)
+
+
+def levels_select(levels: jax.Array, syms: jax.Array) -> jax.Array:
+    """levels[syms] without a gather: one-hot select + sum.
+
+    A gather at activation shapes costs ~10 ns/element on TPU (it was
+    the single largest stage inside enc_forward — 6 gathers across the
+    pyramid); the one-hot masked sum is a pure VPU pass over (..., L).
+    Selection copies the PRECOMPUTED table values bit-exactly (adding
+    0.0 to a selected value is the identity; levels never contain -0.0
+    since grids builds them as s*bw + x_min with x_min != -0), so the
+    value<->symbol contract (models/grids.py) is untouched — unlike an
+    inline `syms*bw + x_min`, which XLA could FMA-contract into values
+    that differ from the table by 1 ulp."""
+    iota = jnp.arange(levels.shape[0], dtype=syms.dtype)
+    return jnp.sum(jnp.where(syms[..., None] == iota, levels, 0.0),
+                   axis=-1)

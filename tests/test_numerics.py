@@ -276,3 +276,23 @@ def test_mean_symbol_probs_matches_numpy_oracle():
     cdf[..., -1] = 1.0
     oracle = np.diff(cdf, axis=-1).mean(axis=(0, 1, 2, 3))
     np.testing.assert_allclose(p_y, oracle, atol=1e-5)
+
+
+def test_levels_select_bitwise_equals_gather():
+    """levels_select must copy table values bit-exactly for every
+    symbol (the no-gather replacement inside quantize/decode)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from l3c_tpu.models import grids
+    from l3c_tpu.models.quantizer import levels_select
+
+    for (lo, hi, L) in ((-1.0, 1.0, 25), (0.0, 255.0, 256),
+                        (-2.0, 2.0, 13)):
+        lv = jnp.asarray(grids.levels(lo, hi, L))
+        syms = jnp.asarray(np.tile(np.arange(L, dtype=np.int32),
+                                   (2, 3, 1)))
+        out = np.asarray(jax.jit(levels_select)(lv, syms))
+        ref = np.asarray(lv)[np.asarray(syms)]
+        np.testing.assert_array_equal(
+            out.view(np.uint32), ref.view(np.uint32))
