@@ -361,7 +361,11 @@ class TpuBitcoding:
                                     tc.layout_for(n, F, T_f))
             s_c = ((a_flat.reshape(F, h, w) << tc.FINE_BITS)
                    | b_.reshape(F, h, w))
-            decoded = decoded.at[..., c].set(s_c)
+            # static-channel insert as a concat (an .at[].set lowers to
+            # a scatter — slow serial unit — at full image shape)
+            decoded = jnp.concatenate(
+                [decoded[..., :c], s_c[..., None], decoded[..., c + 1:]],
+                axis=-1)
             if out == "u8":                   # final scale-0 channel
                 return decoded.astype(jnp.uint8)
             if out == "bn":                   # RGB-baseline inner scale

@@ -397,6 +397,7 @@ def _compact_left(a: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
     by the true per-lane lengths.
     """
     T = a.shape[1]
+    col = jnp.arange(T, dtype=jnp.int32)[None, :]
     s = jnp.cumsum((~keep).astype(jnp.int32), axis=1) \
         - (~keep).astype(jnp.int32)                   # exclusive
     s = jnp.where(keep, s, 0)                          # dropped: inert
@@ -404,8 +405,11 @@ def _compact_left(a: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
     while (1 << k) < T:
         step_ = 1 << k
         bit = (s >> k) & 1                             # mover this pass
-        inc = jnp.roll(bit, -step_, axis=1)            # arriving at i
-        inc = inc.at[:, -step_:].set(0)                # no wraparound
+        # arriving at i = mover at i + 2^k; mask the wraparound tail
+        # with an iota compare (an .at[].set would lower to a scatter —
+        # a slow serial unit on TPU)
+        inc = jnp.where(col < T - step_,
+                        jnp.roll(bit, -step_, axis=1), 0)
         a = jnp.where(inc == 1, jnp.roll(a, -step_, axis=1), a)
         s_in = jnp.roll(s, -step_, axis=1) - step_     # applied 2^k
         # vacated with nothing incoming -> dead (bit set, no arrival)
