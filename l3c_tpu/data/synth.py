@@ -200,6 +200,135 @@ def _fam_patch_mosaic(rng, n):
     return _rgb_mix(rng, np.stack([img]))
 
 
+def _fam_dof(rng, n):
+    """Depth-of-field composite: a sharp textured region over a heavily
+    low-passed background — spatially VARYING sharpness, the one photo
+    statistic no single-spectrum family has."""
+    sharp = _spectral_noise(rng, n, rng.uniform(1.2, 1.8))
+    blurred = _spectral_noise(rng, n, rng.uniform(2.8, 3.4))
+    # smooth focus mask: thresholded very-low-frequency field
+    m = _smooth01(_spectral_noise(rng, n, 3.5))
+    m = 1 / (1 + np.exp(-(m - rng.uniform(0.35, 0.65)) * 20))
+    img = sharp * m + blurred * (1 - m)
+    return _rgb_mix(rng, np.stack([img, m - 0.5]))
+
+
+def _fam_text(rng, n):
+    """Document statistics: rows of short dark strokes on a flat light
+    page — extreme bimodal histogram + axis-aligned high-frequency
+    structure (scans, signs, screenshots-with-text)."""
+    img = np.full((n, n), rng.uniform(0.85, 1.0))
+    row_h = rng.randint(6, 14)
+    y = rng.randint(2, row_h)
+    ink = rng.uniform(0.0, 0.25)
+    while y + row_h < n:
+        x = rng.randint(0, 8)
+        glyph_h = max(2, int(row_h * rng.uniform(0.5, 0.8)))
+        while x < n - 2:
+            w = rng.randint(2, 14)                     # word segment
+            if rng.rand() < 0.8:
+                img[y:y + glyph_h, x:min(x + w, n)] = \
+                    ink + rng.uniform(0, 0.15)
+            x += w + rng.randint(1, 5)                 # letter/word gap
+        y += row_h
+    # slight page shading + print noise keep it photographic
+    shade = _spectral_noise(rng, n, 2.5) * 0.05
+    return _rgb_mix(rng, np.stack([img + shade]), sat=0.15)
+
+
+def _fam_foliage(rng, n):
+    """Vegetation: clumped multi-scale blobs with hard silhouettes and
+    fine inner texture (leaves/grass against sky gaps)."""
+    clumps = _spectral_noise(rng, n, 2.2)
+    leaves = _spectral_noise(rng, n, 1.0) * 0.6
+    mask = 1 / (1 + np.exp(-(clumps - rng.uniform(-0.3, 0.3)) * 8))
+    gaps = _smooth01(_spectral_noise(rng, n, 3.0))     # sky behind
+    img = mask * (0.3 + leaves * 0.4) + (1 - mask) * (0.7 + gaps * 0.3)
+    return _rgb_mix(rng, np.stack([img, mask - 0.5, leaves * mask]))
+
+
+def _fam_marble(rng, n):
+    """Warped-coordinate veins: sin(k·u + fBm warp) — marble, agate,
+    wood figure; thin curvilinear high-contrast features."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    th = rng.uniform(0, np.pi)
+    u = (np.cos(th) * xx + np.sin(th) * yy) / n
+    warp = _spectral_noise(rng, n, 2.2) * rng.uniform(1.0, 3.0)
+    veins = np.sin(2 * np.pi * u * rng.uniform(2, 8) + warp)
+    sharp = np.abs(veins) ** rng.uniform(0.3, 0.8) * np.sign(veins)
+    base = _spectral_noise(rng, n, 2.6) * 0.3
+    return _rgb_mix(rng, np.stack([sharp, base]), sat=0.5)
+
+
+def _fam_vector(rng, n):
+    """Flat vector art / UI: a few EXACTLY uniform or linear-gradient
+    polygons with hard anti-aliased edges and zero sensor noise — the
+    run-length regime real screenshots live in."""
+    img = np.full((n, n), rng.uniform(0, 1))
+    yy, xx = np.mgrid[0:n, 0:n]
+    for _ in range(rng.randint(4, 12)):
+        # random half-plane pair -> convex strip/wedge regions
+        a, b = rng.normal(0, 1, 2)
+        c = rng.uniform(-0.5, 0.5) * n
+        d = (a * (xx - n / 2) + b * (yy - n / 2) - c) \
+            / max(np.hypot(a, b), 1e-6)
+        m = np.clip(0.5 - d, 0, 1)                     # 1px AA edge
+        if rng.rand() < 0.3:                            # gradient fill
+            fill = _smooth01(rng.normal(0, 1) * xx + rng.normal(0, 1)
+                             * yy) * rng.uniform(0.5, 1.0)
+        else:                                           # flat fill
+            fill = rng.uniform(0, 1)
+        keep = rng.uniform(0.6, 1.0)
+        img = img * (1 - m * keep) + fill * m * keep
+    return _rgb_mix(rng, np.stack([img]), sat=0.8)
+
+
+def _fam_print(rng, n):
+    """Periodic printed patterns (fabric, wallpaper, halftone): a
+    warped 2-D lattice of repeated motifs."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    py, px = rng.uniform(0.04, 0.2, 2)
+    wy = _spectral_noise(rng, n, 2.4) * rng.uniform(0, 2)
+    wx = _spectral_noise(rng, n, 2.4) * rng.uniform(0, 2)
+    u = np.sin(2 * np.pi * py * yy + wy)
+    v = np.sin(2 * np.pi * px * xx + wx)
+    motif = u * v if rng.rand() < 0.5 else np.maximum(u, v)
+    if rng.rand() < 0.4:                               # halftone dots
+        motif = np.where(motif > rng.uniform(-0.3, 0.3), 1.0, -1.0)
+    tex = _spectral_noise(rng, n, 1.8) * 0.15
+    return _rgb_mix(rng, np.stack([motif, tex]), sat=0.7)
+
+
+def _fam_vignette(rng, n):
+    """Portrait/lens lighting: smooth radial illumination falloff over
+    a gently textured subject — large-scale multiplicative shading."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    cy, cx = rng.uniform(0.25 * n, 0.75 * n, 2)
+    r = np.hypot(yy - cy, xx - cx) / n
+    light = np.exp(-(r ** 2) * rng.uniform(2.0, 6.0))
+    subject = _spectral_noise(rng, n, 2.3) * 0.4 + 0.5
+    img = subject * (0.2 + 0.8 * light)
+    return _rgb_mix(rng, np.stack([img, light - 0.5]), sat=0.9)
+
+
+def _fam_night(rng, n):
+    """Low-light scene: near-black base, strong sensor noise, sparse
+    saturated point/streak lights — the high-noise dark regime."""
+    base = np.abs(_spectral_noise(rng, n, 2.4)) * 0.08
+    yy, xx = np.mgrid[0:n, 0:n]
+    lights = np.zeros((n, n))
+    for _ in range(rng.randint(5, 25)):
+        cy, cx = rng.uniform(0, n, 2)
+        sy = rng.uniform(0.8, 3.0)
+        sx = sy * rng.uniform(1.0, 8.0) if rng.rand() < 0.3 else sy
+        lights += np.exp(-(((yy - cy) / sy) ** 2
+                           + ((xx - cx) / sx) ** 2)) \
+            * rng.uniform(0.5, 1.5)
+    img = base + lights
+    out = _rgb_mix(rng, np.stack([img, lights]), sat=1.8)
+    return out * rng.uniform(0.5, 0.85)        # keep it dark post-norm
+
+
 FAMILIES: Dict[str, Callable] = {
     "spectral": _fam_spectral,
     "terrain": _fam_terrain,
@@ -211,6 +340,15 @@ FAMILIES: Dict[str, Callable] = {
     "waves": _fam_waves,
     "grain": _fam_grain,
     "mosaic": _fam_patch_mosaic,
+    # round-3 session-3 additions: statistics the first ten don't span
+    "dof": _fam_dof,
+    "text": _fam_text,
+    "foliage": _fam_foliage,
+    "marble": _fam_marble,
+    "vector": _fam_vector,
+    "print": _fam_print,
+    "vignette": _fam_vignette,
+    "night": _fam_night,
 }
 
 

@@ -243,6 +243,13 @@ class Trainer:
                                                    i + 1)
             if self.saver is not None and self.saver.save_due(i + 1):
                 self.saver.save(jax.device_get(self.state), i + 1)
+        # final checkpoint: the reference's interval saver can drop up to
+        # keep_tmp_itr-1 tail iterations at exit (saver.py save_every
+        # gate inside trainer.py:137's every-itr call); always persist
+        # the state the run ended with so short runs are restorable.
+        end = self.start_itr + num_itr
+        if self.saver is not None and num_itr and not self.saver.save_due(end):
+            self.saver.save(jax.device_get(self.state), end)
         return metrics
 
     def _write_heavy_summaries(self, batch, step: int):

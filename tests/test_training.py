@@ -122,6 +122,21 @@ def test_training_reduces_loss(tmp_path):
     assert int(tr.state["step"]) == 30
 
 
+def test_training_saves_final_checkpoint(tmp_path):
+    """A run whose num_itr is NOT a multiple of keep_tmp_itr still ends
+    with a restorable checkpoint at the final iteration (the reference's
+    interval-only saver can drop the tail, trainer.py:137)."""
+    cfg = _tiny_cfg()
+    dl = DlConfig(batchsize_train=2, batchsize_val=2, crop_size=16)
+    net = MultiscaleNetwork(cfg)
+    gen = _synthetic_batches(2, 16)
+    tr = Trainer(cfg, dl, net, gen, out_dir=str(tmp_path), epoch_len=10)
+    tr.train(num_itr=3, log_every=0, val_every=0)   # 3 % 250 != 0
+    r = Restorer(str(tmp_path))
+    itr, got = r.restore(jax.device_get(tr.state), itr=-1)
+    assert itr == 3 and int(got["step"]) == 3
+
+
 def test_training_data_parallel_mesh(tmp_path):
     """Same slice under an 8-device virtual mesh (DP via shardings)."""
     assert jax.device_count() >= 8, "conftest must set 8 CPU devices"
