@@ -47,18 +47,34 @@ def main():
     # its own T/UNROLL (fresh traces; the persistent compile cache still
     # dedups identical HLO across processes). Select variants with
     # L3C_AB=name1,name2 (default: the coder profiles).
+    def _reset():
+        tc._T_FORCED = False
+        tc.UNROLL = 8
+        tc.PACKER = "shift"
+        tc.ENC_DIV = "float"
+
     def _profile(p):
         def s():
+            _reset()
             tc.CODER_PROFILE = p
-            tc._T_FORCED = False
-            tc.UNROLL = 8
         return s
 
     def _forced(T, unroll=8):
         def s():
+            _reset()
             tc.T_STREAM = T
             tc._T_FORCED = True
             tc.UNROLL = unroll
+        return s
+
+    def _flag(**over):
+        # one execution flag changed from the shipped defaults, on the
+        # default profile — isolates the session's lowering changes
+        # (shift packer, f32 divmod) for on-chip A/B
+        def s():
+            _reset()
+            for k, v in over.items():
+                setattr(tc, k, v)
         return s
 
     ALL = {
@@ -72,6 +88,9 @@ def main():
         "T1024u16": _forced(1024, 16),
         "T512u16": _forced(512, 16),
         "T2048u16": _forced(2048, 16),
+        "default": _flag(),
+        "packer_sort": _flag(PACKER="sort"),
+        "div_int": _flag(ENC_DIV="int"),
     }
     names = os.environ.get("L3C_AB", "speed,balanced,size").split(",")
     CONFIGS = [(n, ALL[n]) for n in names]
