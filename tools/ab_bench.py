@@ -48,6 +48,7 @@ def main():
     # dedups identical HLO across processes). Select variants with
     # L3C_AB=name1,name2 (default: the coder profiles).
     def _reset():
+        tc.CODER_PROFILE = "balanced"    # bench/serving default
         tc._T_FORCED = False
         tc.UNROLL = 8
         tc.PACKER = "shift"
