@@ -73,6 +73,21 @@ class MsConfig:
     # mixture parameters land in bf16, costing a little bitrate)
     compute_dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.q.C == 3 and not self.rgb_bicubic_baseline:
+            # The channel-count heuristic that distinguishes the RGB
+            # scale from bottleneck scales is the reference's own
+            # (logistic_mixture.py:68-73 keys the classifier's output
+            # width on C == 3): a 3-channel bottleneck gets RGB-style
+            # 4-parameter mixtures while the loss/coder expect 3, and
+            # training/coding fail with shape errors downstream. Fail
+            # fast with the reason instead.
+            raise ValueError(
+                "q.C == 3 collides with the RGB channel-count heuristic "
+                "(reference logistic_mixture.py:68-73); use C != 3 for "
+                "bottlenecks (or rgb_bicubic_baseline, where every "
+                "scale is RGB)")
+
     @property
     def padding_fac(self) -> int:
         return 2 ** self.num_scales

@@ -238,6 +238,25 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
     return IntParams(p=p_q, a=a_q, sc=sc_q, v=v_q, w=w_q)
 
 
+def apply_lambda_chain(v: jnp.ndarray, c: int,
+                       w_slots: Tuple[jnp.ndarray, ...],
+                       dec_syms: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """v' = clip(v + sum_j w_j * sym_j) for RGB channel c — THE single
+    expression of the lambda chain, shared by channel_int_params (full-
+    image) and the fused decode scan (per-step) so both sides produce
+    bit-identical f32 exact integers. w_slots are the (..., K) lambda
+    params for slots (0: c1<-c0, 1: c2<-c0, 2: c2<-c1); dec_syms are
+    the already-known channel SYMBOL arrays (exact ints 0..255)."""
+    if c == 1:
+        v = v + w_slots[0] * dec_syms[0].astype(_F)[..., None]
+    elif c == 2:
+        v = (v + w_slots[1] * dec_syms[0].astype(_F)[..., None]
+             + w_slots[2] * dec_syms[1].astype(_F)[..., None])
+    else:
+        return v
+    return jnp.clip(v, np.float32(-V_CLAMP), np.float32(V_CLAMP))
+
+
 def channel_int_params(ip: IntParams, c: int,
                        dec_syms: Optional[Tuple[jnp.ndarray, ...]] = None
                        ) -> Tuple[jnp.ndarray, ...]:
@@ -254,12 +273,9 @@ def channel_int_params(ip: IntParams, c: int,
         def wflat(j):
             wj = ip.w[..., j, :]
             return wj.reshape(-1, wj.shape[-1])
-        if c == 1:
-            v = v + wflat(0) * dec_syms[0].astype(_F)[:, None]
-        else:
-            v = (v + wflat(1) * dec_syms[0].astype(_F)[:, None]
-                 + wflat(2) * dec_syms[1].astype(_F)[:, None])
-        v = jnp.clip(v, np.float32(-V_CLAMP), np.float32(V_CLAMP))
+        v = apply_lambda_chain(
+            v, c, (wflat(0), wflat(1), wflat(2)),
+            tuple(s.reshape(-1) for s in dec_syms))
     return p, a, sc, v
 
 

@@ -421,6 +421,66 @@ def _compact_left(a: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
 # ------------------------------------------------------------- decoding
 
 
+def _decode_symbol(x: jnp.ndarray, row: jnp.ndarray, win: jnp.ndarray,
+                   loc: jnp.ndarray, m: jnp.ndarray, L: int,
+                   w16_iota: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One rANS symbol decode for every lane: searchsorted the CDF row,
+    advance the state, renorm from the 16-word window. THE single
+    expression of the decode step, shared by rans_decode and the fused
+    RGB scan (ops.fused_decode) so both are bit-identical.
+
+    x (NS,) u32 states; row (NS, L) int32 CDF edges; win (NS, 16) i32
+    window words; loc (NS,) i32 position of each lane's next word in
+    its window; m (NS,) bool active mask.
+    Returns (s (NS,) i32 symbols, x' updated states, consumed (NS,) i32
+    0/1 words consumed)."""
+    top = jnp.int32(65536)
+    cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    le = row <= cf[:, None]
+    s = jnp.maximum(jnp.sum(le, axis=1) - 1, 0)
+    start = jnp.max(jnp.where(le, row, 0), axis=1)
+    high = jnp.minimum(jnp.min(jnp.where(le, top, row), axis=1), top)
+    high = jnp.where(s == L - 1, top, high)
+    f = (high - start).astype(jnp.uint32)
+    x1 = f * (x >> 16) + (x & jnp.uint32(0xFFFF)) \
+        - start.astype(jnp.uint32)
+    need = x1 < RANS_L
+    w = jnp.max(jnp.where(w16_iota[None, :] == loc[:, None], win, 0),
+                axis=1)
+    x2 = jnp.where(need, (x1 << 16) | w.astype(jnp.uint32), x1)
+    consumed = jnp.logical_and(m, need).astype(jnp.int32)
+    return s, jnp.where(m, x2, x), consumed
+
+
+def _window_fetch(words_ch: jnp.ndarray, ch_iota: jnp.ndarray,
+                  cur: jnp.ndarray, n_wch: int) -> jnp.ndarray:
+    """Fetch each lane's 8*n_wch-word window starting at its aligned
+    chunk (one O(W) pass per scan step; see rans_decode)."""
+    c0 = cur >> 3
+    return jnp.concatenate(
+        [jnp.sum(jnp.where(
+            (ch_iota[None, :] == (c0 + j)[:, None])[..., None],
+            words_ch, 0), axis=1) for j in range(n_wch)],
+        axis=1)
+
+
+def chunk_words(words: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray, int]:
+    """(NS, W) u16 decode-order words -> the 8-word chunk layout the
+    window fetch reads, plus its iotas (shared by rans_decode and the
+    fused RGB scan)."""
+    ns, W = words.shape
+    n_wch = -(-(7 + UNROLL) // 8)          # window chunks (2 for U=8)
+    n_ch = -(-W // 8) + n_wch              # chunk overrun slack
+    words_ch = jnp.pad(words.astype(jnp.int32),
+                       ((0, 0), (0, n_ch * 8 - W))
+                       ).reshape(ns, n_ch, 8)
+    ch_iota = jnp.arange(n_ch, dtype=jnp.int32)
+    w16_iota = jnp.arange(8 * n_wch, dtype=jnp.int32)
+    return words_ch, ch_iota, w16_iota, n_wch
+
+
 def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
                 mask_t: jnp.ndarray, L: int) -> jnp.ndarray:
     """Decode streams against per-position CDF rows.
@@ -440,7 +500,6 @@ def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
     x0 = (words[:, 0].astype(jnp.uint32)
           | (words[:, 1].astype(jnp.uint32) << 16))
     cur0 = jnp.full((ns,), 2, jnp.int32)
-    top = jnp.int32(65536)
 
     # Word reads are per-lane dynamic indices. A gather
     # (take_along_axis) on the (NS, W) array costs ~10 ns/element on
@@ -451,46 +510,20 @@ def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
     # cur cover every read of the step. The window fetch is the only
     # O(W) pass (2 chunk one-hots); the per-symbol selects are one-hots
     # over 16 — ~8x less select work at UNROLL=8.
-    n_wch = -(-(7 + UNROLL) // 8)          # window chunks (2 for U=8)
-    n_ch = -(-W // 8) + n_wch              # chunk overrun slack
-    words_ch = jnp.pad(words.astype(jnp.int32),
-                       ((0, 0), (0, n_ch * 8 - W))
-                       ).reshape(ns, n_ch, 8)
-    ch_iota = jnp.arange(n_ch, dtype=jnp.int32)
-    w16_iota = jnp.arange(8 * n_wch, dtype=jnp.int32)
+    words_ch, ch_iota, w16_iota, n_wch = chunk_words(words)
 
     def step(carry, xs_t):
         x, cur = carry
         t_idx, m_u = xs_t
         rows_u = jax.lax.dynamic_slice_in_dim(
             tbl, t_idx, 1, axis=1)[:, 0]                    # (NS, U, L)
-        c0 = cur >> 3
-        win = jnp.concatenate(
-            [jnp.sum(jnp.where(
-                (ch_iota[None, :] == (c0 + j)[:, None])[..., None],
-                words_ch, 0), axis=1) for j in range(n_wch)],
-            axis=1)                               # (NS, 8 * n_wch)
+        win = _window_fetch(words_ch, ch_iota, cur, n_wch)
         loc = cur & 7                                        # (NS,)
         ss = []
         for u in range(UNROLL):
-            row = rows_u[:, u].astype(jnp.int32)            # (NS, L)
-            m = m_u[u]
-            cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-            le = row <= cf[:, None]
-            s = jnp.maximum(jnp.sum(le, axis=1) - 1, 0)
-            start = jnp.max(jnp.where(le, row, 0), axis=1)
-            high = jnp.minimum(jnp.min(jnp.where(le, top, row), axis=1),
-                               top)
-            high = jnp.where(s == L - 1, top, high)
-            f = (high - start).astype(jnp.uint32)
-            x1 = f * (x >> 16) + (x & jnp.uint32(0xFFFF)) \
-                - start.astype(jnp.uint32)
-            need = x1 < RANS_L
-            w = jnp.max(jnp.where(w16_iota[None, :] == loc[:, None],
-                                  win, 0), axis=1)
-            x2 = jnp.where(need, (x1 << 16) | w.astype(jnp.uint32), x1)
-            upd = jnp.logical_and(m, need).astype(jnp.int32)
-            x = jnp.where(m, x2, x)
+            s, x, upd = _decode_symbol(
+                x, rows_u[:, u].astype(jnp.int32), win, loc, m_u[u],
+                L, w16_iota)
             cur = cur + upd
             loc = loc + upd
             ss.append(s)
