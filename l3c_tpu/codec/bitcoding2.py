@@ -397,10 +397,18 @@ class TpuBitcoding:
             lambda shape: jnp.zeros(shape, jnp.int32),
             static_argnums=(0,))
 
+        # Both scale-0/RGB units' scans merged into ONE rANS scan over
+        # the concatenated lane stack (coarse + fine streams encode
+        # independently, so stacking them just widens the scan — half
+        # the sequential scan steps of the dominant encode stage).
+        # Every lane's stream bytes are unchanged; L3C_ENC_FUSED=0
+        # restores the two-scan layout for on-chip A/B.
+        enc_fused = os.environ.get("L3C_ENC_FUSED", "1") == "1"
+
         def enc_rgb_units(ip, target, T):
             # both scale-0/RGB units (coarse + fine) in ONE program:
             # symbol split, per-channel 2-edge lookups with the lambda
-            # chain on target symbols, grouping, and the two scans —
+            # chain on target symbols, grouping, and the scan(s) —
             # no rows anywhere
             F, h, w, _ = target.shape
             lay = tc.layout_for(h * w, 3 * F, T)
@@ -416,6 +424,15 @@ class TpuBitcoding:
                 s2, f2 = ic.rgb_fine_lookup(ip, c, dec, a_c, b_c)
                 sc_.append(s1), fc_.append(f1)
                 sf_.append(s2), ff_.append(f2)
+            if enc_fused:
+                lay6 = tc.layout_for(h * w, 6 * F, T)
+                w6, l6 = tc.encode_sf(jnp.concatenate(sc_ + sf_),
+                                      jnp.concatenate(fc_ + ff_), lay6)
+                half = 3 * F * lay.ns_c
+                return (jax.lax.slice_in_dim(w6, 0, half, axis=0),
+                        jax.lax.slice_in_dim(l6, 0, half, axis=0),
+                        jax.lax.slice_in_dim(w6, half, 2 * half, axis=0),
+                        jax.lax.slice_in_dim(l6, half, 2 * half, axis=0))
             wc, lc = tc.encode_sf(jnp.concatenate(sc_),
                                   jnp.concatenate(fc_), lay)
             wf, lf = tc.encode_sf(jnp.concatenate(sf_),

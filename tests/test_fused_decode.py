@@ -76,6 +76,28 @@ def test_fused_decode_batch(setup, tmp_path):
         np.testing.assert_array_equal(out, im)
 
 
+def test_fused_encode_scan_byte_identical(setup, tmp_path, monkeypatch):
+    """Merging the coarse+fine encode scans into one wider scan
+    (L3C_ENC_FUSED, default on) must not change a single stream byte —
+    each lane's rANS encoding is independent of its neighbors."""
+    cfg, net, params = setup
+    img = _rand_img(24, 40, seed=9)
+    monkeypatch.setenv("L3C_ENC_FUSED", "0")
+    bc_two = TpuBitcoding(cfg, net, params)
+    p_two = str(tmp_path / "two.l3c")
+    bc_two.encode(img, p_two)
+    monkeypatch.setenv("L3C_ENC_FUSED", "1")
+    bc_one = TpuBitcoding(cfg, net, params)
+    p_one = str(tmp_path / "one.l3c")
+    bc_one.encode(img, p_one)
+    with open(p_two, "rb") as f:
+        two = f.read()
+    with open(p_one, "rb") as f:
+        one = f.read()
+    assert one == two
+    np.testing.assert_array_equal(bc_one.decode(p_one), img)
+
+
 def test_fused_decode_rgb_baseline(tmp_path):
     """rgb_bicubic_baseline codes RGB at every scale — the fused path
     must also serve the inner scales' 'bn' consumer cast."""
