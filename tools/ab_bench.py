@@ -53,6 +53,9 @@ def main():
         tc.UNROLL = 8
         tc.PACKER = "shift"
         tc.ENC_DIV = "float"
+        # flags read by TpuBitcoding.__init__ from the environment
+        os.environ["L3C_ENC_FUSED"] = "1"
+        os.environ["L3C_DEC_FUSED"] = "0"
 
     def _profile(p):
         def s():
@@ -71,11 +74,16 @@ def main():
     def _flag(**over):
         # one execution flag changed from the shipped defaults, on the
         # default profile — isolates the session's lowering changes
-        # (shift packer, f32 divmod) for on-chip A/B
+        # (shift packer, f32 divmod, scan fusion) for on-chip A/B.
+        # L3C_-prefixed keys are environment flags (read at
+        # TpuBitcoding construction); bare keys are tc module globals.
         def s():
             _reset()
             for k, v in over.items():
-                setattr(tc, k, v)
+                if k.startswith("L3C_"):
+                    os.environ[k] = v
+                else:
+                    setattr(tc, k, v)
         return s
 
     ALL = {
@@ -92,6 +100,8 @@ def main():
         "default": _flag(),
         "packer_sort": _flag(PACKER="sort"),
         "div_int": _flag(ENC_DIV="int"),
+        "enc_twoscan": _flag(L3C_ENC_FUSED="0"),
+        "dec_fused": _flag(L3C_DEC_FUSED="1"),
     }
     names = os.environ.get("L3C_AB", "speed,balanced,size").split(",")
     CONFIGS = [(n, ALL[n]) for n in names]
