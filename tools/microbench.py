@@ -155,6 +155,25 @@ def main():
                          words_c[: words_c.shape[0] // 3]),
         out_of=lambda r: r)
 
+    # --- scale-0 decode, both execution strategies on REAL words
+    # (not added to TOTAL: they re-cover the rows+scan stages above)
+    wc_u, _, wf_u, _ = bc._enc_rgb_units(ip0, x, T_u)
+
+    def dec_seq():
+        d = bc._zeros_i32((F, 512, 512, 3))
+        for c in range(3):
+            d = bc._dec_rgb_channel(ip0, d, wc_u, wf_u, c, T_u, T_u,
+                                    512, 512, F, "syms")
+        return d
+    timeit("dec rgb scale-0 channel-seq (3 prog)", dec_seq,
+           out_of=lambda r: r)
+    from l3c_tpu.ops import fused_decode
+    dec_fused_j = jax.jit(
+        lambda ip, a_, b_: fused_decode.rgb_decode_fused(
+            ip, a_, b_, T_u, 512, 512, F))
+    timeit("dec rgb scale-0 fused (1 prog)",
+           lambda: dec_fused_j(ip0, wc_u, wf_u), out_of=lambda r: r)
+
     print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms")
 
 
