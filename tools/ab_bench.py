@@ -128,7 +128,11 @@ def main():
             print(f"warm {name}: ok", file=sys.stderr)
 
         for r in range(rounds):
-            for name, profile, bc in codecs:
+            # Rotate the variant order per round: under monotone pool-load
+            # drift a fixed order gives the first variant the quietest
+            # slot every round, biasing best-of comparisons.
+            order = codecs[r % len(codecs):] + codecs[:r % len(codecs)]
+            for name, profile, bc in order:
                 set_profile(profile)
                 ps = [os.path.join(d, f"r{r}_{name}_{b}.l3c")
                       for b in range(B)]
