@@ -61,8 +61,22 @@ def main():
     def sync(v):
         np.asarray(jax.device_get(jnp.ravel(v)[:1]))
 
+    # L3C_MB_SKIP=substr1,substr2 skips matching stages (e.g. the full
+    # row-build programs, which exceed the remote-compile tunnel's
+    # request-size cap and take minutes to buffer-and-fail)
+    skips = [s for s in os.environ.get("L3C_MB_SKIP", "").split(",") if s]
+
     def timeit(name, fn, out_of=None):
-        fn()  # warm/compile
+        if any(s in name for s in skips):
+            print(f"{name:34s}   SKIP (L3C_MB_SKIP)")
+            return 0.0
+        try:
+            fn()  # warm/compile
+        except Exception as e:  # a too-large remote-compile (tunnel
+            # HTTP 413) on one stage must not kill the rest of the map
+            print(f"{name:34s}   SKIP ({type(e).__name__}: "
+                  f"{str(e)[:60]})")
+            return 0.0
         sync(fn() if out_of is None else out_of(fn()))
         t0 = time.perf_counter()
         r = None
@@ -137,23 +151,31 @@ def main():
         total += timeit(f"dec bn rows (scale {scale})",
                         lambda s=scale: bn_rows_j(ip_by_scale[s]))
 
-    # --- decode scan (rows prebuilt so the scan is isolated)
-    ct = jnp.concatenate(
-        [np.asarray(r) for r in rgb_rows_j()[0::2]], 0)
-    enc_c = jax.jit(lambda ip, a: tc.encode_sf(
-        *[jnp.concatenate(v) for v in zip(
-            *[ic.rgb_coarse_lookup(ip, c, tuple(
-                t_i[..., j].reshape(-1) for j in range(c)),
-                a[..., c].reshape(-1)) for c in range(3)])],
-        tc.layout_for(n, 3 * F, T_u)))
-    words_c, _ = enc_c(ip0, a)
-    dec_scan = jax.jit(lambda tbl, w: tc.decode_channels(
-        tbl, w, tc.N_COARSE, tc.layout_for(n, F, T_u)))
-    total += timeit(
-        "dec scan coarse full-width",
-        lambda: dec_scan(ct[: F * n],
-                         words_c[: words_c.shape[0] // 3]),
-        out_of=lambda r: r)
+    # --- decode scan (rows prebuilt so the scan is isolated); the row
+    # builder feeding it can exceed the remote-compile size cap, so the
+    # whole block degrades to SKIP rather than killing the map
+    try:
+        if any(s in "dec rgb rows" for s in skips):
+            raise RuntimeError("row builder skipped via L3C_MB_SKIP")
+        ct = jnp.concatenate(
+            [np.asarray(r) for r in rgb_rows_j()[0::2]], 0)
+        enc_c = jax.jit(lambda ip, a: tc.encode_sf(
+            *[jnp.concatenate(v) for v in zip(
+                *[ic.rgb_coarse_lookup(ip, c, tuple(
+                    t_i[..., j].reshape(-1) for j in range(c)),
+                    a[..., c].reshape(-1)) for c in range(3)])],
+            tc.layout_for(n, 3 * F, T_u)))
+        words_c, _ = enc_c(ip0, a)
+        dec_scan = jax.jit(lambda tbl, w: tc.decode_channels(
+            tbl, w, tc.N_COARSE, tc.layout_for(n, F, T_u)))
+        total += timeit(
+            "dec scan coarse full-width",
+            lambda: dec_scan(ct[: F * n],
+                             words_c[: words_c.shape[0] // 3]),
+            out_of=lambda r: r)
+    except Exception as e:
+        print(f"{'dec scan coarse full-width':34s}   SKIP "
+              f"({type(e).__name__}: {str(e)[:60]})")
 
     # --- scale-0 decode, both execution strategies on REAL words
     # (not added to TOTAL: they re-cover the rows+scan stages above)
