@@ -329,6 +329,91 @@ def _fam_night(rng, n):
     return out * rng.uniform(0.5, 0.85)        # keep it dark post-norm
 
 
+def _jpeg_roundtrip(u8: np.ndarray, quality: int) -> np.ndarray:
+    """Round-trip a uint8 RGB tile through JPEG at `quality`.
+
+    The reference's Open Images corpus is JPEG-sourced end to end
+    (prep_openimages.sh downloads .jpg dumps), so every training pixel
+    the reference model sees carries 8x8 DCT block artifacts. Our
+    package/procedural sources are artifact-free; this injects that
+    statistic."""
+    from io import BytesIO
+
+    from PIL import Image
+    buf = BytesIO()
+    Image.fromarray(u8).save(buf, format="JPEG", quality=int(quality))
+    buf.seek(0)
+    return np.asarray(Image.open(buf).convert("RGB"))
+
+
+def _camera_degrade(u8: np.ndarray, rng: np.random.RandomState
+                    ) -> np.ndarray:
+    """Physically-motivated sensor noise: gamma-decode to linear light,
+    Poisson shot noise (variance proportional to signal) + Gaussian read
+    noise, gamma-encode back. Unlike the uniform +-k augmentation, the
+    noise level depends on brightness exactly as in real photos (dark
+    regions noisier after gamma), which is the statistic a conditional
+    density model actually has to calibrate to."""
+    gamma = 2.2
+    lin = (u8.astype(np.float64) / 255.0) ** gamma
+    # full-well capacity in photoelectrons: low = high-ISO noisy shot
+    fw = float(rng.uniform(200.0, 4000.0))
+    read = float(rng.uniform(0.5, 3.0))             # e- read noise
+    e = rng.poisson(lin * fw) + rng.normal(0.0, read, lin.shape)
+    lin_n = np.clip(e / fw, 0.0, 1.0)
+    out = (lin_n ** (1.0 / gamma)) * 255.0 + 0.5
+    return out.astype(np.uint8)
+
+
+def _fam_multiscale(rng, n):
+    """True multi-scale mixture: coarse structure from one family
+    rendered at n/4 and bicubic-upsampled, fine detail from ANOTHER
+    family, blended through a smooth spatial mask. No single-generator
+    family produces content whose statistics CHANGE with scale the way
+    photos do (objects at low freq, texture at high freq); this one
+    does, by construction."""
+    from PIL import Image
+    coarse_fams = [_fam_shapes, _fam_cells, _fam_sky, _fam_terrain]
+    fine_fams = [_fam_grain, _fam_aniso, _fam_waves, _fam_foliage,
+                 _fam_marble]
+    coarse = coarse_fams[rng.randint(len(coarse_fams))](rng, n // 4)
+    coarse = np.asarray(Image.fromarray(
+        (coarse * 255).astype(np.uint8)).resize((n, n), Image.BICUBIC)
+    ).astype(np.float64) / 255.0
+    fine = fine_fams[rng.randint(len(fine_fams))](rng, n)
+    amount = rng.uniform(0.15, 0.5)
+    m = _smooth01(_spectral_noise(rng, n, 3.0))[..., None]
+    mix = coarse * (1 - amount * m) + fine * (amount * m)
+    return np.clip(mix, 0.0, 1.0)
+
+
+def _fam_jpegtex(rng, n):
+    """Compression-artifact texture: sharp-structured content pushed
+    through aggressive JPEG so 8x8 block boundaries, DCT ringing and
+    chroma bleeding BECOME the dominant statistic (thumbnails, memes,
+    re-shared web photos)."""
+    base_fams = [_fam_shapes, _fam_text, _fam_vector, _fam_cells,
+                 _fam_foliage]
+    rgb = base_fams[rng.randint(len(base_fams))](rng, n)
+    u8 = (rgb * 255.0 + 0.5).astype(np.uint8)
+    u8 = _jpeg_roundtrip(u8, rng.randint(8, 40))
+    if rng.rand() < 0.3:                    # double-compressed re-share
+        u8 = _jpeg_roundtrip(u8, rng.randint(30, 70))
+    return u8.astype(np.float64) / 255.0
+
+
+def _fam_camnoise(rng, n):
+    """Low-light camera capture: smooth scene content whose visible
+    texture IS the sensor noise (shot + read, signal-dependent).
+    Complements `night` (which is about sparse lights) by making the
+    noise field itself the family's structure."""
+    scene_fams = [_fam_sky, _fam_vignette, _fam_dof, _fam_bokeh]
+    rgb = scene_fams[rng.randint(len(scene_fams))](rng, n)
+    rgb = rgb * rng.uniform(0.25, 0.7)        # underexpose
+    u8 = (rgb * 255.0 + 0.5).astype(np.uint8)
+    return _camera_degrade(u8, rng).astype(np.float64) / 255.0
+
+
 FAMILIES: Dict[str, Callable] = {
     "spectral": _fam_spectral,
     "terrain": _fam_terrain,
@@ -349,6 +434,11 @@ FAMILIES: Dict[str, Callable] = {
     "print": _fam_print,
     "vignette": _fam_vignette,
     "night": _fam_night,
+    # round-4 additions (VERDICT item 7): the three statistics the
+    # eighteen above still don't span
+    "multiscale": _fam_multiscale,
+    "jpegtex": _fam_jpegtex,
+    "camnoise": _fam_camnoise,
 }
 
 
@@ -361,10 +451,16 @@ def render_tile(family: str, rng: np.random.RandomState,
     rgb = rgb ** rng.uniform(0.8, 1.25)
     u8 = (rgb * 255.0 + 0.5).astype(np.uint8)
     if rng.rand() < noise_frac:
-        k = int(rng.choice([1, 2, 4, 6]))
-        u8 = np.clip(u8.astype(np.int16)
-                     + rng.randint(-k, k + 1, u8.shape),
-                     0, 255).astype(np.uint8)
+        r = rng.rand()
+        if r < 0.4:          # signal-dependent sensor noise (mild ISO)
+            u8 = _camera_degrade(u8, rng)
+        elif r < 0.7:        # re-saved web photo (mild JPEG)
+            u8 = _jpeg_roundtrip(u8, rng.randint(55, 92))
+        else:                # legacy uniform dither
+            k = int(rng.choice([1, 2, 4, 6]))
+            u8 = np.clip(u8.astype(np.int16)
+                         + rng.randint(-k, k + 1, u8.shape),
+                         0, 255).astype(np.uint8)
     return u8
 
 
