@@ -375,24 +375,6 @@ class TpuBitcoding:
         self._dec_rgb_channel = jax.jit(
             dec_rgb_channel, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 
-        # Fully-fused RGB decode (ops.fused_decode): all 6 streams in
-        # ONE scan/program — 6x fewer sequential scan steps, same
-        # element work, bit-identical rows by shared expressions.
-        # Env-gated for on-chip A/B vs the channel-sequential default.
-        self._dec_fused = os.environ.get("L3C_DEC_FUSED", "0") == "1"
-
-        def dec_rgb_fused(ip, wc, wf, T, h, w, F, out="syms"):
-            from ..ops import fused_decode
-            syms = fused_decode.rgb_decode_fused(ip, wc, wf, T, h, w, F)
-            if out == "u8":
-                return syms.astype(jnp.uint8)
-            if out == "bn":
-                mean = jnp.asarray(255.0 * layers.RGB_MEAN, jnp.float32)
-                return syms.astype(jnp.float32) - mean
-            return syms
-        self._dec_rgb_fused = jax.jit(
-            dec_rgb_fused, static_argnums=(3, 4, 5, 6, 7))
-
         self._zeros_i32 = jax.jit(
             lambda shape: jnp.zeros(shape, jnp.int32),
             static_argnums=(0,))
@@ -897,13 +879,10 @@ class TpuBitcoding:
         lookups by construction. out: consumer cast fused into the
         last channel's program ("u8" image / "bn" mean-shifted).
 
-        With L3C_DEC_FUSED=1 the whole scale decodes in ONE program
-        whose single scan advances all 6 streams per step
-        (ops.fused_decode; bit-identical output, 6x fewer sequential
-        scan steps)."""
-        if self._dec_fused and T_c == T_f:
-            return self._dec_rgb_fused(ip, w_coarse, w_fine, T_c,
-                                       hs, ws, F, out)
+        (A fully-fused single-scan variant — all 6 streams advanced
+        per step — measured 17% SLOWER on device: in-scan row math
+        wastes VPU width vs the embarrassingly-parallel prebuild
+        programs; RESULTS.md round-3 session 4. Deleted in round 4.)"""
         decoded = self._zeros_i32((F, hs, ws, 3))
         for c in range(3):
             decoded = self._dec_rgb_channel(

@@ -17,7 +17,7 @@ runs on the TPU:
   reaches < 2^16 <= freq<<16). All-integer => bit-exact by construction;
   no float determinism contract needed between encode and decode.
 - Quantized CDF tables are computed on device (models.dmll params ->
-  uint16 rows, or the fused Pallas kernel) and NEVER leave HBM. Both
+  uint16 rows, fused by XLA) and NEVER leave HBM. Both
   the encoder's (start, freq) lookup and the decoder's searchsorted are
   vectorized compare/sum/min/max reductions — no gathers in hot loops.
 - Channels of a scale are coded in ONE fused scan whenever dependencies
@@ -205,21 +205,15 @@ def edge_quantize(c: jnp.ndarray, l_idx: jnp.ndarray, L: int
 
 
 def build_cdf_table(pi: jnp.ndarray, mu: jnp.ndarray, inv_s: jnp.ndarray,
-                    x_min: float, bin_w: float, L: int,
-                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                    x_min: float, bin_w: float, L: int) -> jnp.ndarray:
     """Quantized CDF rows from mixture params (decode side).
 
     pi, mu, inv_s: (..., K) float32 (pi softmaxed, inv_s=exp(-log_s)).
     Returns (..., L) uint16 rows per the v7 table spec. Stays in HBM;
-    XLA fuses the (K x L) evaluation per pixel. use_pallas selects the
-    fused Pallas kernel — a bench-only A/B path since v7 (it measured
-    2.5-4.5x slower than XLA fusion and its floats are not
-    edge_cdf-identical, so the codec no longer accepts it).
+    XLA fuses the (K x L) evaluation per pixel. (A hand-written Pallas
+    alternative measured 2.5-4.5x slower than XLA's fusion on the real
+    chip and is quarantined in tools/pallas_cdf.py.)
     """
-    from . import pallas_cdf
-    if use_pallas:
-        return pallas_cdf.build_cdf_table_pallas(pi, mu, inv_s, x_min,
-                                                 bin_w, L)
     t = (jnp.arange(L, dtype=jnp.float32) * np.float32(bin_w)
          + np.float32(x_min - bin_w / 2.0))                  # (L,) edges
     c = edge_cdf(pi, mu, inv_s, t)                           # (..., L)
@@ -427,8 +421,8 @@ def _decode_symbol(x: jnp.ndarray, row: jnp.ndarray, win: jnp.ndarray,
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One rANS symbol decode for every lane: searchsorted the CDF row,
     advance the state, renorm from the 16-word window. THE single
-    expression of the decode step, shared by rans_decode and the fused
-    RGB scan (ops.fused_decode) so both are bit-identical.
+    expression of the decode step, factored out so every decode path
+    (channel-sequential or any future fused scan) stays bit-identical.
 
     x (NS,) u32 states; row (NS, L) int32 CDF edges; win (NS, 16) i32
     window words; loc (NS,) i32 position of each lane's next word in
@@ -643,35 +637,15 @@ def _channel_params(spec, l, c, C, decoded):
         spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded)
 
 
-def rgb_coarse_tables(spec, l, c, C, decoded,
-                      use_pallas: Optional[bool] = None) -> jnp.ndarray:
+def rgb_coarse_tables(spec, l, c, C, decoded) -> jnp.ndarray:
     """(n, 16) uint16 coarse tables for channel c (packs `l` itself;
     hot path: rgb_coarse_tables_packed with a pre-packed scale)."""
     return rgb_coarse_tables_packed(
-        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded,
-        use_pallas=use_pallas)
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded)
 
 
-def rgb_coarse_tables_packed(spec, packed, c, decoded,
-                             use_pallas: Optional[bool] = None
-                             ) -> jnp.ndarray:
-    """(n, 16) uint16 coarse tables for channel c from PACKED params.
-
-    use_pallas selects the fused Pallas evaluation of the 16 coarse
-    edges — since v7 a bench-only A/B path (its floats are not
-    edge_cdf-identical; the codec always uses the XLA path)."""
-    if use_pallas:
-        from . import pallas_cdf
-        pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
-        bw = np.float32(spec.bin_width)
-        t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
-        edges_np = ((np.arange(N_COARSE) << FINE_BITS)
-                    .astype(np.float32) * bw + t0)
-        q = pallas_cdf.coarse_cdf_quantized(pi, mu, inv_s, edges_np,
-                                            N_COARSE)
-        l_idx = jnp.arange(N_COARSE, dtype=jnp.int32)
-        q = jnp.where(l_idx == 0, 0, q + 2 * l_idx)
-        return q.astype(jnp.uint16)
+def rgb_coarse_tables_packed(spec, packed, c, decoded) -> jnp.ndarray:
+    """(n, 16) uint16 coarse tables for channel c from PACKED params."""
     pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
     cvals = edge_cdf(pi, mu, inv_s, _coarse_edge_targets(spec))
     return _quantize_rows(cvals, N_COARSE)
@@ -685,34 +659,21 @@ def _coarse_edge_targets(spec) -> jnp.ndarray:
             + np.float32(spec.x_min - spec.bin_width / 2.0))
 
 
-def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray,
-                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
+def rgb_fine_tables(spec, l, c, C, decoded, a: jnp.ndarray) -> jnp.ndarray:
     """(n, 16) uint16 fine tables for channel c (packs `l` itself;
     hot path: rgb_fine_tables_packed with a pre-packed scale)."""
     return rgb_fine_tables_packed(
-        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded, a,
-        use_pallas=use_pallas)
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded, a)
 
 
-def rgb_fine_tables_packed(spec, packed, c, decoded, a: jnp.ndarray,
-                           use_pallas: Optional[bool] = None
+def rgb_fine_tables_packed(spec, packed, c, decoded, a: jnp.ndarray
                            ) -> jnp.ndarray:
-    """(n, 16) uint16 fine tables conditional on coarse symbols a (n,).
-
-    use_pallas: fused Pallas kernel for the 17-edge conditional rows —
-    since v7 a bench-only A/B path (see rgb_coarse_tables_packed)."""
+    """(n, 16) uint16 fine tables conditional on coarse symbols a (n,)."""
     pi, mu, inv_s = _channel_params_packed(spec, packed, c, decoded)
     n = pi.shape[0]
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
     FINE = 1 << FINE_BITS
-    if use_pallas:
-        from . import pallas_cdf
-        q = pallas_cdf.fine_cdf_quantized(pi, mu, inv_s, a.reshape(n),
-                                          bw, t0, FINE, N_COARSE)
-        l_idx = jnp.arange(FINE, dtype=jnp.int32)
-        q = jnp.where(l_idx == 0, 0, q + 2 * l_idx)
-        return q.astype(jnp.uint16)
     k = jnp.arange(FINE + 1, dtype=jnp.float32)               # 0..16
     base = (a.reshape(n).astype(jnp.float32)
             * np.float32(1 << FINE_BITS))
@@ -746,8 +707,7 @@ def _fine_conditional(c_e, c_lo, c_hi, a):
 
 def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
                                c: int, C: int,
-                               decoded: Optional[jnp.ndarray],
-                               use_pallas: Optional[bool] = None
+                               decoded: Optional[jnp.ndarray]
                                ) -> jnp.ndarray:
     """CDF table for channel c of a scale, conditioned on decoded chans.
 
@@ -757,14 +717,12 @@ def mixture_tables_for_channel(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
     Returns (H*W, L) uint16.
     """
     return mixture_tables_for_channel_packed(
-        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded,
-        use_pallas=use_pallas)
+        spec, dmll_mod.pack_coder_params(spec, l, C), c, decoded)
 
 
 def mixture_tables_for_channel_packed(
         spec: dmll_mod.DMLLSpec, packed, c: int,
-        decoded: Optional[jnp.ndarray],
-        use_pallas: Optional[bool] = None) -> jnp.ndarray:
+        decoded: Optional[jnp.ndarray]) -> jnp.ndarray:
     """mixture_tables_for_channel from PRE-PACKED scale params."""
     pi, mu, inv_s, lam = packed
     mu_c = mu[..., c, :]
@@ -777,8 +735,7 @@ def mixture_tables_for_channel_packed(
     pi_c, mu_c, inv_c = _maybe_topk(pi[..., c, :], mu_c,
                                     inv_s[..., c, :])
     table = build_cdf_table(pi_c, mu_c, inv_c,
-                            spec.x_min, spec.bin_width, spec.L,
-                            use_pallas=use_pallas)
+                            spec.x_min, spec.bin_width, spec.L)
     return table.reshape(-1, spec.L)
 
 
@@ -797,21 +754,17 @@ def _maybe_topk(pi_c, mu_c, inv_c):
 
 def mixture_tables_all_channels(spec: dmll_mod.DMLLSpec, l: jnp.ndarray,
                                 C: int,
-                                decoded: Optional[jnp.ndarray],
-                                use_pallas: Optional[bool] = None
+                                decoded: Optional[jnp.ndarray]
                                 ) -> jnp.ndarray:
     """Tables for ALL channels stacked channel-major: (C*H*W, L) u16."""
     return mixture_tables_all_channels_packed(
-        spec, dmll_mod.pack_coder_params(spec, l, C), C, decoded,
-        use_pallas=use_pallas)
+        spec, dmll_mod.pack_coder_params(spec, l, C), C, decoded)
 
 
 def mixture_tables_all_channels_packed(
         spec: dmll_mod.DMLLSpec, packed, C: int,
-        decoded: Optional[jnp.ndarray],
-        use_pallas: Optional[bool] = None) -> jnp.ndarray:
+        decoded: Optional[jnp.ndarray]) -> jnp.ndarray:
     """All channels' tables from ONE pre-packed scale: (C*H*W, L) u16."""
-    tabs = [mixture_tables_for_channel_packed(spec, packed, c, decoded,
-                                              use_pallas=use_pallas)
+    tabs = [mixture_tables_for_channel_packed(spec, packed, c, decoded)
             for c in range(C)]
     return jnp.concatenate(tabs, axis=0)

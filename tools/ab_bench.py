@@ -55,7 +55,6 @@ def main():
         tc.ENC_DIV = "float"
         # flags read by TpuBitcoding.__init__ from the environment
         os.environ["L3C_ENC_FUSED"] = "1"
-        os.environ["L3C_DEC_FUSED"] = "0"
 
     def _profile(p):
         def s():
@@ -101,7 +100,6 @@ def main():
         "packer_sort": _flag(PACKER="sort"),
         "div_int": _flag(ENC_DIV="int"),
         "enc_twoscan": _flag(L3C_ENC_FUSED="0"),
-        "dec_fused": _flag(L3C_DEC_FUSED="1"),
     }
     names = os.environ.get("L3C_AB", "speed,balanced,size").split(",")
     CONFIGS = [(n, ALL[n]) for n in names]

@@ -177,8 +177,8 @@ def main():
         print(f"{'dec scan coarse full-width':34s}   SKIP "
               f"({type(e).__name__}: {str(e)[:60]})")
 
-    # --- scale-0 decode, both execution strategies on REAL words
-    # (not added to TOTAL: they re-cover the rows+scan stages above)
+    # --- scale-0 decode, end-to-end on REAL words (not added to
+    # TOTAL: it re-covers the rows+scan stages above)
     wc_u, _, wf_u, _ = bc._enc_rgb_units(ip0, x, T_u)
 
     def dec_seq():
@@ -189,12 +189,6 @@ def main():
         return d
     timeit("dec rgb scale-0 channel-seq (3 prog)", dec_seq,
            out_of=lambda r: r)
-    from l3c_tpu.ops import fused_decode
-    dec_fused_j = jax.jit(
-        lambda ip, a_, b_: fused_decode.rgb_decode_fused(
-            ip, a_, b_, T_u, 512, 512, F))
-    timeit("dec rgb scale-0 fused (1 prog)",
-           lambda: dec_fused_j(ip0, wc_u, wf_u), out_of=lambda r: r)
 
     print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms")
 

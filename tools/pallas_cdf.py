@@ -11,12 +11,13 @@ no (P, K, L) intermediate ever touches HBM.
     q(p, l)    = floor(clip(cdf, 0, 1) * (65536 - 2L))
 
 The (cheap, integer) + 2l / edge-0 pin finish runs in XLA afterwards
-(ops.tpu_coder table spec). These kernels are a BENCH-ONLY A/B path
-(L3C_PALLAS_CDF never affects the codec): they measured 2.5-4.5x
-slower than XLA's own fusion on the real chip, and since format v8 the
-codec's coding CDF is the exact-integer evaluator (ops.int_coder), not
-a float kernel at all. Kept for microbenching and as the starting
-point if a future chip shifts the balance.
+(ops.tpu_coder table spec). QUARANTINED to tools/ in round 4 (VERDICT
+item 9): these kernels are a bench-only A/B path that never affects
+the codec — they measured 2.5-4.5x slower than XLA's own fusion on
+the real chip (RESULTS.md round-2 device-stage map), and since format
+v8 the codec's coding CDF is the exact-integer evaluator
+(ops.int_coder), not a float kernel at all. Kept for microbenching and
+as the starting point if a future chip shifts the balance.
 
 On non-TPU backends the kernel runs in interpret mode (tests compare it
 against the pure-XLA path).
@@ -24,7 +25,6 @@ against the pure-XLA path).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -155,16 +155,34 @@ def coarse_cdf_quantized(pi, mu, inv_s, edges: np.ndarray, L: int
     return mixture_cdf_quantized(pi, mu, inv_s, edges, L)
 
 
-def pallas_cdf_enabled() -> bool:
-    """Opt-in (L3C_PALLAS_CDF=1); read by tools/microbench.py A/B runs
-    only — since format v7 the codec never uses the Pallas builders.
-    Default OFF: the device microbench (real v5e chip, batch-8 512^2)
-    put the fused Pallas table builders at 2.5-4.5x SLOWER than XLA's
-    own fusion of the same ops (coarse x3 113ms vs 44ms, fine x3 137ms
-    vs 49ms, bn 74ms vs 16ms) — XLA already fuses the (K x L) sigmoid
-    mixture evaluation into one HBM pass, and the hand blocking loses
-    to it."""
-    v = os.environ.get("L3C_PALLAS_CDF")
-    if v is not None:
-        return v == "1"
-    return False
+# --------- A/B drop-ins mirroring the production XLA table builders
+# (same v7 +2l / edge-0-pin spec finish, so tests can compare rows)
+
+
+def rgb_coarse_tables_pallas(spec, packed, c, decoded) -> jnp.ndarray:
+    """Pallas counterpart of tpu_coder.rgb_coarse_tables_packed."""
+    from l3c_tpu.ops import tpu_coder as tc
+    pi, mu, inv_s = tc._channel_params_packed(spec, packed, c, decoded)
+    bw = np.float32(spec.bin_width)
+    t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
+    edges = ((np.arange(tc.N_COARSE) << tc.FINE_BITS)
+             .astype(np.float32) * bw + t0)
+    q = coarse_cdf_quantized(pi, mu, inv_s, edges, tc.N_COARSE)
+    l_idx = jnp.arange(tc.N_COARSE, dtype=jnp.int32)
+    return jnp.where(l_idx == 0, 0, q + 2 * l_idx).astype(jnp.uint16)
+
+
+def rgb_fine_tables_pallas(spec, l, c, C, decoded, a) -> jnp.ndarray:
+    """Pallas counterpart of tpu_coder.rgb_fine_tables."""
+    from l3c_tpu.models import dmll as dmll_mod
+    from l3c_tpu.ops import tpu_coder as tc
+    packed = dmll_mod.pack_coder_params(spec, l, C)
+    pi, mu, inv_s = tc._channel_params_packed(spec, packed, c, decoded)
+    n = pi.shape[0]
+    bw = np.float32(spec.bin_width)
+    t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
+    FINE = 1 << tc.FINE_BITS
+    q = fine_cdf_quantized(pi, mu, inv_s, a.reshape(n), bw, t0, FINE,
+                           tc.N_COARSE)
+    l_idx = jnp.arange(FINE, dtype=jnp.int32)
+    return jnp.where(l_idx == 0, 0, q + 2 * l_idx).astype(jnp.uint16)
