@@ -133,13 +133,102 @@ def add_rgb_mean(x: jax.Array) -> jax.Array:
 def bicubic_downsample_x2(x_rgb_0_255: jax.Array) -> jax.Array:
     """Bicubic x0.5 downsample of an NHWC [0,255] image, on-device.
 
-    TPU-native replacement for the reference's host-side PIL resize
-    (net.py:65-80, images_loader.py:277-288): jax.image.resize with the
-    Keys cubic kernel (a=-0.5, antialiased), which matches PIL's bicubic
-    reduction up to boundary handling. Keeping it on-device removes a
-    host round-trip per scale for the RGB baselines.
+    Bit-exact replica of PIL's two-pass BICUBIC reduction — the
+    preprocessing the reference's RGB baselines were trained on
+    (net.py:65-80, images_loader.py:277-288) — so imported released
+    RGB/RGB-Shared checkpoints see EXACTLY the inputs they expect.
+    All-integer (Pillow's own fixed-point algorithm): per-pass 22-bit
+    integer coefficients, int32 accumulate, horizontal pass clipped to
+    uint8 BEFORE the vertical pass. A float jax.image.resize matches
+    only to ~3 LSB on ~0.05% of pixels (measured) precisely because it
+    skips that intermediate quantization; integer math is also
+    program-shape-independent, the same determinism contract as
+    ops.int_coder. Keeping it on-device removes a host round-trip per
+    scale.
     """
     n, h, w, c = x_rgb_0_255.shape
-    y = jax.image.resize(x_rgb_0_255, (n, h // 2, w // 2, c),
-                         method="bicubic", antialias=True)
-    return jnp.clip(jnp.round(y), 0.0, 255.0)
+    x = jnp.clip(jnp.round(x_rgb_0_255.astype(jnp.float32)), 0, 255)\
+        .astype(jnp.int32)
+    t = _pil_pass_x2(x, axis=2)                  # horizontal (PIL order)
+    return _pil_pass_x2(t, axis=1).astype(jnp.float32)
+
+
+_PIL_PREC = 22  # Pillow PRECISION_BITS = 32 - 8 - 2
+
+
+def _pil_x2_rows(in_size: int) -> list:
+    """Pillow precompute_coeffs for BICUBIC at exactly x2: per output
+    pixel (xmin, int32 coefficient vector), weights normalized over the
+    clipped window then rounded to 22-bit fixed point (ResampleHorizontal
+    in Pillow's Resample.c). At x2 every interior output shares one
+    8-tap kernel; only the first/last two differ."""
+    out_size = in_size // 2
+    assert in_size == 2 * out_size, "PIL-exact path needs even extents"
+
+    def keys(t, a=-0.5):
+        t = abs(t)
+        if t < 1.0:
+            return ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+        if t < 2.0:
+            return (((t - 5.0) * t + 8.0) * t - 4.0) * a
+        return 0.0
+
+    rows = []
+    for i in range(out_size):
+        center = 2.0 * i + 1.0
+        xmin = max(0, int(center - 4.0 + 0.5))     # C trunc-toward-zero
+        xmax = min(in_size, int(center + 4.0 + 0.5))
+        w = np.array([keys((x - center + 0.5) / 2.0)
+                      for x in range(xmin, xmax)])
+        w = w / w.sum()
+        k = np.where(w < 0, w * (1 << _PIL_PREC) - 0.5,
+                     w * (1 << _PIL_PREC) + 0.5).astype(np.int32)
+        rows.append((xmin, k))
+    return rows
+
+
+def _pil_pass_x2(x: jax.Array, axis: int) -> jax.Array:
+    """One Pillow resample pass (int32 in, uint8-valued int32 out).
+
+    acc range: 255 * sum|k| + 2^21 <= 255 * 1.3 * 2^22 + 2^21 < 2^31,
+    so int32 accumulation is exact; >> is arithmetic (floor), and
+    Pillow's clip8 returns 0 for any acc <= 0, which clip-after-shift
+    reproduces (negative floor-shift stays negative)."""
+    in_size = x.shape[axis]
+    rows = _pil_x2_rows(in_size)
+    out_size = len(rows)
+    half = jnp.int32(1 << (_PIL_PREC - 1))
+
+    def window(start, taps, stride=1):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + stride * (taps - 1) + 1, stride)
+        return x[tuple(idx)]
+
+    def one_output(xmin, k):
+        acc = half
+        for d in range(len(k)):
+            acc = acc + jnp.int32(int(k[d])) * window(xmin + d, 1)
+        return acc
+
+    # outputs whose window is clipped at a border (first/last two);
+    # everything between shares the full 8-tap kernel at offset 2i-3
+    special = {i for i in range(out_size)
+               if rows[i][0] != 2 * i - 3 or len(rows[i][1]) != 8}
+    interior = [i for i in range(out_size) if i not in special]
+    pieces = []
+    i = 0
+    while i < out_size:
+        if i in special:
+            pieces.append(one_output(*rows[i]))
+            i += 1
+        else:
+            i0, i1 = interior[0], interior[-1]
+            k = rows[i0][1]
+            acc = half
+            for d in range(8):
+                acc = acc + jnp.int32(int(k[d])) \
+                    * window(2 * i0 - 3 + d, i1 - i0 + 1, stride=2)
+            pieces.append(acc)
+            i = i1 + 1
+    out = jnp.concatenate(pieces, axis=axis)
+    return jnp.clip(jnp.right_shift(out, _PIL_PREC), 0, 255)
