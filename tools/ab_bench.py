@@ -103,6 +103,13 @@ def main():
     }
     names = os.environ.get("L3C_AB", "speed,balanced,size").split(",")
     CONFIGS = [(n, ALL[n]) for n in names]
+    if rounds % len(CONFIGS):
+        # per-round order rotation only cancels slot bias when every
+        # variant occupies every slot equally often
+        print(f"warning: rounds={rounds} is not a multiple of "
+              f"{len(CONFIGS)} variants; medians keep a slot bias — "
+              f"use rounds={-(-rounds // len(CONFIGS)) * len(CONFIGS)}",
+              file=sys.stderr)
 
     codecs = []
     for name, setter in CONFIGS:

@@ -65,10 +65,12 @@ def main():
     # row-build programs, which exceed the remote-compile tunnel's
     # request-size cap and take minutes to buffer-and-fail)
     skips = [s for s in os.environ.get("L3C_MB_SKIP", "").split(",") if s]
+    skipped = []   # stage names that returned via a skip path
 
     def timeit(name, fn, out_of=None):
         if any(s in name for s in skips):
             print(f"{name:34s}   SKIP (L3C_MB_SKIP)")
+            skipped.append(name)
             return 0.0
         try:
             fn()  # warm/compile
@@ -76,6 +78,10 @@ def main():
             # HTTP 413) on one stage must not kill the rest of the map
             print(f"{name:34s}   SKIP ({type(e).__name__}: "
                   f"{str(e)[:60]})")
+            import traceback
+            traceback.print_exc(file=sys.stderr)  # full cause: a skip
+            # here may also be a real regression, not just the tunnel
+            skipped.append(name)
             return 0.0
         sync(fn() if out_of is None else out_of(fn()))
         t0 = time.perf_counter()
@@ -155,8 +161,11 @@ def main():
     # builder feeding it can exceed the remote-compile size cap, so the
     # whole block degrades to SKIP rather than killing the map
     try:
-        if any(s in "dec rgb rows" for s in skips):
-            raise RuntimeError("row builder skipped via L3C_MB_SKIP")
+        if any("dec rgb rows" in name for name in skipped):
+            # gate on what actually happened, not on the skip patterns:
+            # a pattern naming one channel's stage must still stop this
+            # block from recompiling all three row builders
+            raise RuntimeError("row builder skipped above")
         ct = jnp.concatenate(
             [np.asarray(r) for r in rgb_rows_j()[0::2]], 0)
         enc_c = jax.jit(lambda ip, a: tc.encode_sf(
@@ -190,7 +199,9 @@ def main():
     timeit("dec rgb scale-0 channel-seq (3 prog)", dec_seq,
            out_of=lambda r: r)
 
-    print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms")
+    note = (f", PARTIAL: {len(skipped)} stage(s) skipped"
+            if skipped else "")
+    print(f"{'TOTAL (timed stages)':34s} {total:8.1f} ms{note}")
 
 
 if __name__ == "__main__":
