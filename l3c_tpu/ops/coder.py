@@ -85,6 +85,33 @@ def get_lib() -> ctypes.CDLL:
         lib.l3c_decode_uniform.restype = ctypes.c_int
         lib.l3c_decode_uniform.argtypes = [
             c_u8p, c_i64p, c_i64, ctypes.c_int, ctypes.c_int, c_i32p]
+        c_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.l3c_encode_table.restype = c_i64
+        lib.l3c_encode_table.argtypes = [
+            c_i32p, c_i64, c_u32p, ctypes.c_int, ctypes.c_int,
+            c_u8p, c_i64, c_i64p]
+        lib.l3c_decode_table.restype = ctypes.c_int
+        lib.l3c_decode_table.argtypes = [
+            c_u8p, c_i64p, c_i64, c_u32p, ctypes.c_int, ctypes.c_int,
+            c_i32p]
+        lib.l3c_med_residuals.restype = None
+        lib.l3c_med_residuals.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p]
+        lib.l3c_med_reconstruct.restype = None
+        lib.l3c_med_reconstruct.argtypes = [
+            c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_u8p]
+        lib.l3c_encode_table_ctx.restype = c_i64
+        lib.l3c_encode_table_ctx.argtypes = [
+            c_i32p, c_i32p, c_i64, c_u32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, c_u8p, c_i64, c_i64p]
+        lib.l3c_medctx_decode.restype = ctypes.c_int
+        lib.l3c_medctx_decode.argtypes = [
+            c_u8p, c_i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_u32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_u8p]
+        lib.l3c_medctx_contexts.restype = None
+        lib.l3c_medctx_contexts.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, c_i32p]
         lib.l3c_coder_version.restype = ctypes.c_int
         lib.l3c_eval_variant.restype = ctypes.c_int
         _libs[force_scalar] = lib
@@ -161,6 +188,110 @@ class MixtureCoder:
         if r != 0:
             raise RuntimeError(f"l3c_decode_mixture failed: {r}")
         return syms
+
+
+class TableCoder:
+    """Static-cumulative-table rANS coder: one shared (L+1) uint32
+    table for every symbol of a call (cum[0]=0, cum[L]=65536). The
+    entropy backend of the classical MED baseline (eval.classic)."""
+
+    def __init__(self, cum: np.ndarray, n_chunks: int = DEFAULT_CHUNKS):
+        cum = np.ascontiguousarray(cum, np.uint32)
+        assert cum.ndim == 1 and cum[0] == 0 and cum[-1] == 65536
+        assert (np.diff(cum.astype(np.int64)) >= 0).all()
+        self.cum = cum
+        self.L = cum.size - 1
+        self.n_chunks = n_chunks
+
+    def encode(self, syms: np.ndarray) -> Tuple[bytes, np.ndarray]:
+        lib = get_lib()
+        syms = np.ascontiguousarray(syms.reshape(-1).astype(np.int32))
+        out = np.empty(syms.size * 4 + 8 * self.n_chunks + 64, np.uint8)
+        chunk_lens = np.zeros(self.n_chunks, np.int64)
+        n = lib.l3c_encode_table(syms, syms.size, self.cum, self.L,
+                                 self.n_chunks, out, out.size, chunk_lens)
+        if n < 0:
+            raise RuntimeError(f"l3c_encode_table failed: {n}")
+        return out[:n].tobytes(), chunk_lens
+
+    def decode(self, data: bytes, chunk_lens: Sequence[int],
+               n: int) -> np.ndarray:
+        lib = get_lib()
+        chunk_lens = np.asarray(chunk_lens, np.int64)
+        syms = np.zeros(n, np.int32)
+        buf = np.frombuffer(data, np.uint8).copy()
+        r = lib.l3c_decode_table(buf, chunk_lens, n, self.cum, self.L,
+                                 self.n_chunks, syms)
+        if r != 0:
+            raise RuntimeError(f"l3c_decode_table failed: {r}")
+        return syms
+
+
+def med_residuals(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC image -> (C, H*W) int32 mod-256 MED residuals."""
+    lib = get_lib()
+    h, w, c = img.shape
+    res = np.zeros((c, h * w), np.int32)
+    lib.l3c_med_residuals(np.ascontiguousarray(img), h, w, c, res)
+    return res
+
+
+def med_contexts(img: np.ndarray, n_ctx: int) -> np.ndarray:
+    """uint8 HWC image -> (C, H*W) int32 gradient-activity contexts
+    (encode side; decode recomputes them inline from reconstruction)."""
+    lib = get_lib()
+    h, w, c = img.shape
+    ctx = np.zeros((c, h * w), np.int32)
+    lib.l3c_medctx_contexts(np.ascontiguousarray(img), h, w, c, n_ctx,
+                            ctx)
+    return ctx
+
+
+def encode_table_ctx(syms: np.ndarray, ctx: np.ndarray,
+                     cums: np.ndarray, n_chunks: int = DEFAULT_CHUNKS
+                     ) -> Tuple[bytes, np.ndarray]:
+    """Per-symbol context-table rANS encode. cums: (n_ctx, L+1) u32."""
+    lib = get_lib()
+    n_ctx, L1 = cums.shape
+    syms = np.ascontiguousarray(syms.reshape(-1).astype(np.int32))
+    ctx = np.ascontiguousarray(ctx.reshape(-1).astype(np.int32))
+    assert ctx.size == syms.size
+    out = np.empty(syms.size * 4 + 8 * n_chunks + 64, np.uint8)
+    chunk_lens = np.zeros(n_chunks, np.int64)
+    n = lib.l3c_encode_table_ctx(
+        syms, ctx, syms.size, np.ascontiguousarray(cums, np.uint32),
+        n_ctx, L1 - 1, n_chunks, out, out.size, chunk_lens)
+    if n < 0:
+        raise RuntimeError(f"l3c_encode_table_ctx failed: {n}")
+    return out[:n].tobytes(), chunk_lens
+
+
+def medctx_decode(data: bytes, chunk_lens: np.ndarray, h: int, w: int,
+                  c: int, cums: np.ndarray, n_chunks: int
+                  ) -> np.ndarray:
+    """Fused context decode + MED reconstruction.
+    cums: (C, n_ctx, L+1) u32; chunk_lens: (C, n_chunks)."""
+    lib = get_lib()
+    _, n_ctx, L1 = cums.shape
+    img = np.zeros((h, w, c), np.uint8)
+    buf = np.frombuffer(data, np.uint8).copy()
+    r = lib.l3c_medctx_decode(
+        buf, np.ascontiguousarray(chunk_lens.reshape(-1), np.int64),
+        h, w, c, np.ascontiguousarray(cums, np.uint32), n_ctx, L1 - 1,
+        n_chunks, img)
+    if r != 0:
+        raise RuntimeError(f"l3c_medctx_decode failed: {r}")
+    return img
+
+
+def med_reconstruct(res: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(C, H*W) int32 residuals -> uint8 HWC image (inverse scan)."""
+    lib = get_lib()
+    c = res.shape[0]
+    img = np.zeros((h, w, c), np.uint8)
+    lib.l3c_med_reconstruct(np.ascontiguousarray(res, np.int32),
+                            h, w, c, img)
+    return img
 
 
 class UniformCoder:

@@ -566,4 +566,254 @@ int l3c_decode_uniform(
     return 0;
 }
 
+// Static-cumulative-table coder: all symbols of a call share ONE
+// (L+1)-entry uint32 cumulative table (cum[0]=0, cum[L]=65536, cum
+// nondecreasing; symbols with cum[s+1]==cum[s] must not occur). Used by
+// the classical MED/JPEG-LS baseline (eval/classic.py) — the reference
+// compares against PNG only; a MED+rANS coder is the stronger classical
+// bar (LOCO-I / JPEG-LS is the standard of "simple predictor done
+// right", Weinberger et al., IEEE TIP 2000).
+long long l3c_encode_table(
+    const int32_t* syms, long long n, const uint32_t* cum, int L,
+    int n_chunks, unsigned char* out, long long out_cap,
+    long long* chunk_lens) {
+    if (L < 2 || L > 65536 || n_chunks <= 0) return -2;
+    if (cum[0] != 0 || cum[L] != 65536u) return -2;
+    long long written = 0;
+    for (int ch = 0; ch < n_chunks; ++ch) {
+        long long p0 = chunk_begin(n, n_chunks, ch);
+        long long p1 = chunk_begin(n, n_chunks, ch + 1);
+        long long cap_words = (p1 - p0) + 2;
+        if (written + cap_words * 4 > out_cap) return -3;
+        uint32_t* base = (uint32_t*)(out + written);
+        uint32_t* end = base + cap_words;
+        RansEnc enc;
+        rans_enc_init(&enc, end, base);
+        for (long long p = p1 - 1; p >= p0; --p) {
+            uint32_t s = (uint32_t)syms[p];
+            if (s >= (uint32_t)L) return -4;
+            uint32_t lo = cum[s], hi = cum[s + 1];
+            if (hi <= lo) return -4;           // zero-frequency symbol
+            if (rans_enc_put(&enc, lo, hi - lo) != 0) return -5;
+        }
+        if (rans_enc_flush(&enc) != 0) return -5;
+        long long n_bytes = (char*)end - (char*)enc.ptr;
+        std::memmove(out + written, enc.ptr, (size_t)n_bytes);
+        chunk_lens[ch] = n_bytes;
+        written += n_bytes;
+    }
+    return written;
+}
+
+int l3c_decode_table(
+    const unsigned char* in, const long long* chunk_lens,
+    long long n, const uint32_t* cum, int L, int n_chunks,
+    int32_t* syms_out) {
+    if (L < 2 || L > 65536 || n_chunks <= 0) return -2;
+    long long off = 0;
+    for (int ch = 0; ch < n_chunks; ++ch) {
+        long long p0 = chunk_begin(n, n_chunks, ch);
+        long long p1 = chunk_begin(n, n_chunks, ch + 1);
+        long long n_bytes = chunk_lens[ch];
+        if (n_bytes < 8 || (n_bytes & 3)) return -6;
+        const uint32_t* words = (const uint32_t*)(in + off);
+        RansDec dec;
+        rans_dec_init(&dec, words, words + n_bytes / 4);
+        for (long long p = p0; p < p1; ++p) {
+            uint32_t cf = rans_dec_cf(&dec);
+            // binary search: greatest s with cum[s] <= cf
+            int lo = 0, hi = L;                 // invariant: cum[lo]<=cf<cum[hi]
+            while (hi - lo > 1) {
+                int mid = (lo + hi) >> 1;
+                if (cum[mid] <= cf) lo = mid; else hi = mid;
+            }
+            syms_out[p] = (int32_t)lo;
+            rans_dec_advance(&dec, cum[lo], cum[lo + 1] - cum[lo]);
+        }
+        off += n_bytes;
+    }
+    return 0;
+}
+
+// MED / LOCO-I gradient-adjusted predictor (JPEG-LS, Weinberger et al.):
+//   a = left, b = above, c = above-left
+//   pred = min(a,b) if c >= max(a,b); max(a,b) if c <= min(a,b);
+//          else a + b - c
+// First row predicts from a, first column from b, corner from 128.
+// Residuals are mod-256 so they stay in [0, 256).
+static inline int med_pred(int a, int b, int c) {
+    int mx = a > b ? a : b, mn = a < b ? a : b;
+    if (c >= mx) return mn;
+    if (c <= mn) return mx;
+    return a + b - c;
+}
+
+void l3c_med_residuals(const unsigned char* img, int H, int W, int C,
+                       int32_t* res_out) {
+    // img is HWC interleaved; residuals channel-planar (C, H*W)
+    for (int ch = 0; ch < C; ++ch) {
+        int32_t* r = res_out + (long long)ch * H * W;
+        for (int i = 0; i < H; ++i)
+            for (int j = 0; j < W; ++j) {
+                int x = img[((long long)i * W + j) * C + ch];
+                int a = j ? img[((long long)i * W + j - 1) * C + ch] : -1;
+                int b = i ? img[((long long)(i - 1) * W + j) * C + ch] : -1;
+                int c = (i && j)
+                    ? img[((long long)(i - 1) * W + j - 1) * C + ch] : -1;
+                int pred = (i == 0)
+                    ? (j == 0 ? 128 : a)
+                    : (j == 0 ? b : med_pred(a, b, c));
+                r[(long long)i * W + j] = (x - pred) & 255;
+            }
+    }
+}
+
+// Context-modeled variant (JPEG-LS-style): each symbol is coded under
+// one of n_ctx static tables selected by the quantized local gradient
+// activity act = |b-c| + |c-a| (causal neighbors; 0 on the first
+// row/column), thresholds 1,3,7,...  — ctx = #(2^k - 1 <= act).
+// The encoder computes ctx from the original image (== the decoder's
+// reconstruction, losslessness), the decoder recomputes it inline
+// while reconstructing, so no ctx ids ever hit the file.
+static inline int act_ctx(int a, int b, int c, int n_ctx) {
+    int act = (b > c ? b - c : c - b) + (c > a ? c - a : a - c);
+    int ctx = 0;
+    for (int t = 1; ctx < n_ctx - 1 && act >= t; t = 2 * t + 1) ++ctx;
+    return ctx;
+}
+
+long long l3c_encode_table_ctx(
+    const int32_t* syms, const int32_t* ctx, long long n,
+    const uint32_t* cums, int n_ctx, int L, int n_chunks,
+    unsigned char* out, long long out_cap, long long* chunk_lens) {
+    if (L < 2 || L > 65536 || n_chunks <= 0 || n_ctx <= 0) return -2;
+    long long written = 0;
+    for (int ch = 0; ch < n_chunks; ++ch) {
+        long long p0 = chunk_begin(n, n_chunks, ch);
+        long long p1 = chunk_begin(n, n_chunks, ch + 1);
+        long long cap_words = (p1 - p0) + 2;
+        if (written + cap_words * 4 > out_cap) return -3;
+        uint32_t* base = (uint32_t*)(out + written);
+        uint32_t* end = base + cap_words;
+        RansEnc enc;
+        rans_enc_init(&enc, end, base);
+        for (long long p = p1 - 1; p >= p0; --p) {
+            uint32_t s = (uint32_t)syms[p];
+            if (s >= (uint32_t)L) return -4;
+            if ((uint32_t)ctx[p] >= (uint32_t)n_ctx) return -4;
+            const uint32_t* cum = cums + (long long)ctx[p] * (L + 1);
+            uint32_t lo = cum[s], hi = cum[s + 1];
+            if (hi <= lo) return -4;
+            if (rans_enc_put(&enc, lo, hi - lo) != 0) return -5;
+        }
+        if (rans_enc_flush(&enc) != 0) return -5;
+        long long n_bytes = (char*)end - (char*)enc.ptr;
+        std::memmove(out + written, enc.ptr, (size_t)n_bytes);
+        chunk_lens[ch] = n_bytes;
+        written += n_bytes;
+    }
+    return written;
+}
+
+// Decode + MED reconstruction fused: the context of pixel p depends on
+// already-reconstructed neighbors, so decode must interleave with
+// reconstruction (this is exactly how JPEG-LS decoders work).
+// cums: (C, n_ctx, L+1) uint32; chunk_lens: (C, n_chunks).
+int l3c_medctx_decode(
+    const unsigned char* in, const long long* chunk_lens,
+    int H, int W, int C, const uint32_t* cums, int n_ctx, int L,
+    int n_chunks, unsigned char* img_out) {
+    if (L != 256 || n_chunks <= 0 || n_ctx <= 0) return -2;
+    long long off = 0;
+    long long n = (long long)H * W;
+    for (int chn = 0; chn < C; ++chn) {
+        const uint32_t* ch_cums = cums + (long long)chn * n_ctx * (L + 1);
+        for (int ck = 0; ck < n_chunks; ++ck) {
+            long long p0 = chunk_begin(n, n_chunks, ck);
+            long long p1 = chunk_begin(n, n_chunks, ck + 1);
+            long long n_bytes = chunk_lens[(long long)chn * n_chunks + ck];
+            if (n_bytes < 8 || (n_bytes & 3)) return -6;
+            const uint32_t* words = (const uint32_t*)(in + off);
+            RansDec dec;
+            rans_dec_init(&dec, words, words + n_bytes / 4);
+            for (long long p = p0; p < p1; ++p) {
+                int i = (int)(p / W), j = (int)(p % W);
+                int a = j ? img_out[((long long)i * W + j - 1) * C + chn]
+                          : -1;
+                int b = i ? img_out[((long long)(i - 1) * W + j) * C + chn]
+                          : -1;
+                int c = (i && j)
+                    ? img_out[((long long)(i - 1) * W + j - 1) * C + chn]
+                    : -1;
+                int pred, ctx;
+                if (i == 0) {
+                    pred = (j == 0) ? 128 : a;
+                    ctx = 0;
+                } else if (j == 0) {
+                    pred = b;
+                    ctx = 0;
+                } else {
+                    pred = med_pred(a, b, c);
+                    ctx = act_ctx(a, b, c, n_ctx);
+                }
+                const uint32_t* cum = ch_cums + (long long)ctx * (L + 1);
+                uint32_t cf = rans_dec_cf(&dec);
+                int lo = 0, hi = L;
+                while (hi - lo > 1) {
+                    int mid = (lo + hi) >> 1;
+                    if (cum[mid] <= cf) lo = mid; else hi = mid;
+                }
+                rans_dec_advance(&dec, cum[lo], cum[lo + 1] - cum[lo]);
+                img_out[((long long)i * W + j) * C + chn] =
+                    (unsigned char)((pred + lo) & 255);
+            }
+            off += n_bytes;
+        }
+    }
+    return 0;
+}
+
+// Encode-side context map from the original image (must equal the
+// decoder's reconstruction-time contexts; shares act_ctx/med boundary
+// conventions above).
+void l3c_medctx_contexts(const unsigned char* img, int H, int W, int C,
+                         int n_ctx, int32_t* ctx_out) {
+    for (int chn = 0; chn < C; ++chn) {
+        int32_t* cx = ctx_out + (long long)chn * H * W;
+        for (int i = 0; i < H; ++i)
+            for (int j = 0; j < W; ++j) {
+                if (i == 0 || j == 0) {
+                    cx[(long long)i * W + j] = 0;
+                    continue;
+                }
+                int a = img[((long long)i * W + j - 1) * C + chn];
+                int b = img[((long long)(i - 1) * W + j) * C + chn];
+                int c = img[((long long)(i - 1) * W + j - 1) * C + chn];
+                cx[(long long)i * W + j] = act_ctx(a, b, c, n_ctx);
+            }
+    }
+}
+
+void l3c_med_reconstruct(const int32_t* res, int H, int W, int C,
+                         unsigned char* img_out) {
+    for (int ch = 0; ch < C; ++ch) {
+        const int32_t* r = res + (long long)ch * H * W;
+        for (int i = 0; i < H; ++i)
+            for (int j = 0; j < W; ++j) {
+                int a = j ? img_out[((long long)i * W + j - 1) * C + ch]
+                          : -1;
+                int b = i ? img_out[((long long)(i - 1) * W + j) * C + ch]
+                          : -1;
+                int c = (i && j)
+                    ? img_out[((long long)(i - 1) * W + j - 1) * C + ch]
+                    : -1;
+                int pred = (i == 0)
+                    ? (j == 0 ? 128 : a)
+                    : (j == 0 ? b : med_pred(a, b, c));
+                img_out[((long long)i * W + j) * C + ch] =
+                    (unsigned char)((pred + r[(long long)i * W + j]) & 255);
+            }
+    }
+}
+
 }  // extern "C"
