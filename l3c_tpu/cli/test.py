@@ -53,6 +53,15 @@ def main(argv=None):
                    choices=["auto", "tpu", "host"],
                    help="entropy backend for --write_to_files (the "
                         "reference's --device analog)")
+    p.add_argument("--fanout", action="store_true",
+                   help="--write_to_files: round-robin same-shape image "
+                        "groups across all mesh devices (one codec "
+                        "instance per chip; degenerates to the single-"
+                        "device batched path on one chip)")
+    p.add_argument("--eval_batch", type=int, default=8,
+                   help="--write_to_files: images per batched codec "
+                        "group (same-shape images are coded together "
+                        "through the fused rANS scans)")
     flags = p.parse_args(argv)
 
     from ..data.images import Testset
@@ -94,7 +103,9 @@ def main(argv=None):
                     res = tester.write_to_files(
                         ts, flags.write_to_files,
                         time_report=flags.time_report,
-                        compare_theory=flags.compare_theory)
+                        compare_theory=flags.compare_theory,
+                        group=flags.eval_batch,
+                        fanout=flags.fanout)
                 else:
                     res = tester.test(ts)
                 rows.append((os.path.basename(log_dir),

@@ -273,8 +273,21 @@ class MultiscaleTester:
 
     def write_to_files(self, testset: Testset, out_dir: str,
                        time_report: Optional[str] = None,
-                       compare_theory: bool = False) -> TestResult:
+                       compare_theory: bool = False,
+                       group: int = 8,
+                       fanout: bool = False) -> TestResult:
         """Encode+decode every image, assert bit-exact, return real bpsp.
+
+        Same-shape images are grouped (up to `group` at a time) through
+        the codec's BATCHED encode/decode so the fused rANS scans run
+        wide instead of once per image; with `fanout` (and >1 device)
+        the groups round-robin across mesh chips via
+        parallel.fanout.CodecFanout. Images above the auto-crop
+        threshold, odd shapes' remainders, and the host backend keep
+        the single-image path. Grouped files record their group's
+        fbatch in the header (the determinism contract), so a file
+        coded in a group of 8 has slightly different — equally valid —
+        bytes than one coded alone.
 
         compare_theory also evaluates the cross-entropy bpsp per image
         and prints the actual-vs-theory overhead (bitcoding.py:112-121).
@@ -292,35 +305,95 @@ class MultiscaleTester:
         bc = make_bitcoding(self.cfg, self.net, self.params,
                             times=self.times, backend=self.codec_backend,
                             coder_profile="size")
+        fan = None
+        if (fanout and jax.device_count() > 1
+                and hasattr(bc, "encode_batch")):
+            from ..parallel.fanout import CodecFanout
+            fan = CodecFanout(self.cfg, self.net, self.params,
+                              group=group, coder_profile="size")
         result = TestResult()
+        # group by post-crop shape without decoding pixels yet
+        from PIL import Image as PILImage
+        by_shape: Dict[tuple, List[str]] = {}
         for p in testset:
-            img = self._load(p)
+            with PILImage.open(p) as im:
+                w, h = im.size
+            if self.crop:
+                h, w = min(h, self.crop), min(w, self.crop)
+            by_shape.setdefault((h, w), []).append(p)
+
+        def pout_of(p):
             pout = os.path.join(
-                out_dir, os.path.splitext(os.path.basename(p))[0] + ".l3c")
+                out_dir,
+                os.path.splitext(os.path.basename(p))[0] + ".l3c")
             if os.path.exists(pout):
                 os.remove(pout)
-            with self.times.run("enc"):
-                bpsp = bc.encode(img, pout)
-            with self.times.run("dec"):
-                out = bc.decode(
-                    pout if not auto_crop.needs_crop(img)
-                    else pout + ".part0")
-            if not np.array_equal(out, img):
-                raise EncodeError(f"round-trip mismatch for {p}")
-            if compare_theory:
-                self._print_theory_comparison(p, img, bc, bpsp)
-            result[os.path.basename(p)] = bpsp
-            self.times.next_iteration()
+            return pout
+
+        for (h, w), paths in sorted(by_shape.items()):
+            batchable = (hasattr(bc, "encode_batch")
+                         and h * w <= auto_crop.needs_crop_dim())
+            if not batchable:
+                for p in paths:
+                    self._roundtrip_single(bc, p, pout_of(p), result,
+                                           compare_theory)
+                continue
+            for i in range(0, len(paths), group):
+                chunk = paths[i: i + group]
+                imgs = [self._load(p) for p in chunk]
+                pouts = [pout_of(p) for p in chunk]
+                with self.times.run("enc"):
+                    if fan is not None:
+                        bpsps = fan.encode_paths(imgs, pouts)
+                    else:
+                        bpsps = bc.encode_batch(imgs, pouts)
+                with self.times.run("dec"):
+                    if fan is not None:
+                        outs = fan.decode_paths(pouts)
+                    else:
+                        outs = bc.decode_batch(pouts)
+                unit_bytes = (getattr(bc, "last_unit_bytes", None)
+                              if fan is None else None)
+                for b, (p, img, out, bpsp) in enumerate(
+                        zip(chunk, imgs, outs, bpsps)):
+                    if not np.array_equal(out, img):
+                        raise EncodeError(f"round-trip mismatch for {p}")
+                    if compare_theory:
+                        self._print_theory_comparison(
+                            p, img, bc, bpsp,
+                            unit_bytes=(unit_bytes[b] if unit_bytes
+                                        else None))
+                    result[os.path.basename(p)] = bpsp
+                self.times.next_iteration()
         if time_report:
             with open(time_report, "w") as f:
                 f.write(self.times.report())
         return result
 
+    def _roundtrip_single(self, bc, p: str, pout: str,
+                          result: "TestResult", compare_theory: bool):
+        """Single-image round-trip (auto-crop capable, any backend)."""
+        img = self._load(p)
+        with self.times.run("enc"):
+            bpsp = bc.encode(img, pout)
+        with self.times.run("dec"):
+            out = bc.decode(
+                pout if not auto_crop.needs_crop(img)
+                else pout + ".part0")
+        if not np.array_equal(out, img):
+            raise EncodeError(f"round-trip mismatch for {p}")
+        if compare_theory:
+            self._print_theory_comparison(p, img, bc, bpsp)
+        result[os.path.basename(p)] = bpsp
+        self.times.next_iteration()
+
     def _print_theory_comparison(self, path: str, img: np.ndarray, bc,
-                                 actual_bpsp: float):
+                                 actual_bpsp: float,
+                                 unit_bytes: Optional[List[int]] = None):
         """--compare_theory: per-scale theory vs per-unit assumed vs
         actual-on-disk, mirroring the reference's format
-        (bitcoding.py:105-121)."""
+        (bitcoding.py:105-121). unit_bytes: THIS image's per-unit byte
+        counts (batched path); defaults to bc.last_unit_bytes[0]."""
         num_sp = int(np.prod(img.shape))
         # per-scale theory: combine over auto-crop tiles by subpixels
         fac = self.cfg.padding_fac * (2 ** self.recursive)
@@ -333,7 +406,9 @@ class MultiscaleTester:
             t = t * (c_sp / num_sp)
             theory = t if theory is None else theory + t
         # assumed: per-unit on-disk bytes mapped onto scales
-        unit_bytes = getattr(bc, "last_unit_bytes", None)
+        if unit_bytes is None:
+            all_units = getattr(bc, "last_unit_bytes", None)
+            unit_bytes = all_units[0] if all_units else None
         tostr = (lambda v: " | ".join(f"{x:.3f}" for x in v)
                  + f" => {sum(v):.3f}")
         print(f"{os.path.basename(path)} bitrates:")
@@ -342,7 +417,7 @@ class MultiscaleTester:
         if unit_bytes:
             labels = bc.unit_scale_map()
             per_scale = {}
-            for lab, nb in zip(labels, unit_bytes[0]):
+            for lab, nb in zip(labels, unit_bytes):
                 per_scale[lab] = per_scale.get(lab, 0) + nb
             S = self.cfg.num_scales
             order = [f"scale_{s}" for s in range(S)] + ["uniform"]

@@ -25,6 +25,18 @@ coding CDF — encode can evaluate just the 2 edges around each known
 symbol while decode builds full rows, and a v8 file encodes on TPU and
 decodes on CPU bit-exactly.
 
+LANE-MAJOR LAYOUT (round 4): every array keeps the pixel dimension n
+MINOR. The previous (n, C, K) / (n, K, E) layouts put K=10 and E=2..16
+in the two minor dims, which the TPU's (8, 128) vector tiling pads to
+(16, 128) — an 8-13x waste on rows and up to 64x on 2-edge lookups
+(measured: the row builders ran at ~3% VPU utilization). IntParams is
+now (C, K', n), rows come out (L, n), and every elementwise op runs on
+fully-occupied (.., n) tiles. The exact-integer contract makes this
+restructuring bit-safe BY CONSTRUCTION: the same integer function in
+any program shape produces the same values (the oracle tests assert
+it). Exception: pack_int_params is the float boundary — its reductions
+moved axes, so v8 files carry a new contract canary.
+
 Fixed-point formats (all stored in f32):
   z         Q10, saturated to +-16383 (|z| >= 16 saturates sigmoid)
   a_q       round(clip(inv_s * bin_w, 2^-8, 64) * 2^10)      <= 2^16
@@ -115,17 +127,18 @@ def int_sigmoid(z: jnp.ndarray) -> jnp.ndarray:
 
 
 def mixture_cdf_q14(p_q: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    """CDF in Q14 from per-component z values.
+    """CDF in Q14 from per-component z values, lane-major.
 
-    p_q: (..., K) Q12 weights; z: (..., K, E) Q10 integer-f32.
+    p_q: (K, n) Q12 weights; z: (K, E, n) Q10 integer-f32 -> (E, n).
     Per-term products p*sig <= 2^24 stay exact; the per-term >>10 keeps
-    every partial sum exact too (<= K * 2^14 <= 2^18)."""
-    sg = int_sigmoid(z)                              # (..., K, E) Q12
-    terms = _fdiv2(p_q[..., None] * sg, 10)          # Q14 per term
-    K = terms.shape[-2]
-    acc = terms[..., 0, :]
+    every partial sum exact too (<= K * 2^14 <= 2^18) — so the
+    accumulation order is irrelevant to the result."""
+    sg = int_sigmoid(z)                              # (K, E, n) Q12
+    terms = _fdiv2(p_q[:, None, :] * sg, 10)         # Q14 per term
+    K = terms.shape[0]
+    acc = terms[0]
     for k in range(1, K):
-        acc = acc + terms[..., k, :]
+        acc = acc + terms[k]
     return jnp.clip(acc, np.float32(0), np.float32(C_ONE))
 
 
@@ -167,8 +180,9 @@ class IntParams(NamedTuple):
 
     Produced INSIDE the shared get_P program (the only float->int
     boundary); every downstream use is exact-integer f32 math.
-    Shapes: (N, H, W, C, K') with K' = topk or K.
-    w is (N, H, W, 3, K') for the RGB scale's lambda chain, else None.
+    LANE-MAJOR: shapes (C, K', n) with n = N*H*W minor and
+    K' = topk or K. w is (3, K', n) for the RGB scale's lambda chain,
+    else None.
     """
     p: jnp.ndarray     # pi Q12
     a: jnp.ndarray     # a_hat Q10        (fine/bn edge step)
@@ -182,41 +196,54 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
     """Float mixture params -> IntParams. MUST run inside the shared
     per-scale get_P program: the float softmax/exp/top_k here are the
     single float stage of the v8 coder; everything after is
-    program-shape-independent integer math."""
-    pi, mu, inv_s, lam = dmll_mod.pack_coder_params(spec, l, C)
-    K = pi.shape[-1]
+    program-shape-independent integer math.
+
+    Lane-major: the (N,H,W,P,C,K) view of `l` is transposed once to
+    (P, C, K, n); every reduction (softmax, top-k selection) runs over
+    the leading K axis as K slices of fully-tiled (n,) work."""
+    lr = dmll_mod._reshape_l(spec, l, C)           # (N,H,W,P,C,K)
+    N, H, W, P, _, K = lr.shape
+    n = N * H * W
+    lt = lr.transpose(3, 4, 5, 0, 1, 2).reshape(P, C, K, n)
+    lt = lt.astype(jnp.float32)
+    pi = jax.nn.softmax(lt[0], axis=1)             # (C, K, n)
+    mu = lt[1]
+    inv_s = jnp.exp(-jnp.maximum(lt[2], np.float32(
+        dmll_mod.LOG_SCALES_MIN)))
+    lam = jax.nn.sigmoid(lt[3]) if spec.rgb_scale else None
     if topk and K > topk:
         # Iterative one-hot argmax, NOT lax.top_k: top_k lowers to a
-        # full sort plus gathers whose (…, C, K)-minor layouts pad
-        # 17-68x on TPU (measured 38 GB HBM for the bench-shape get_P,
-        # an OOM); k rounds of max + first-match one-hot + masked sum
-        # fuse into the surrounding elementwise work instead. Ties
-        # break to the lowest index, same as stable top_k.
+        # full sort plus gathers; k rounds of max + first-match one-hot
+        # + masked sum fuse into the surrounding elementwise work
+        # instead. Ties break to the lowest index, same as stable
+        # top_k. All reductions run over the leading K axis.
         ohs = []
         avail = pi                       # softmax probs, all >= 0
         for _ in range(topk):
-            m = jnp.max(avail, axis=-1, keepdims=True)
+            m = jnp.max(avail, axis=1, keepdims=True)
             oh = jnp.logical_and(avail >= m,
                                  jnp.cumsum((avail >= m).astype(
-                                     jnp.int32), axis=-1) == 1)
+                                     jnp.int32), axis=1) == 1)
             ohs.append(oh)
             avail = jnp.where(oh, np.float32(-1.0), avail)
 
         def sel(x, masks):
+            # x (C, K, n), masks [(C, K, n)] -> (C, topk, n)
             return jnp.stack(
-                [jnp.sum(x * m.astype(x.dtype), axis=-1)
-                 for m in masks], axis=-1)
+                [jnp.sum(x * m.astype(x.dtype), axis=1)
+                 for m in masks], axis=1)
 
         top_pi = sel(pi, ohs)
-        pi = top_pi / jnp.sum(top_pi, axis=-1, keepdims=True)
+        pi = top_pi / jnp.sum(top_pi, axis=1, keepdims=True)
         mu = sel(mu, ohs)
         inv_s = sel(inv_s, ohs)
         if lam is not None:
             # lam slot j conditions TARGET channel (1, 2, 2): each slot
             # follows its target channel's component selection
             lam = jnp.stack(
-                [sel(lam[..., j, :], [oh[..., t, :] for oh in ohs])
-                 for j, t in enumerate((1, 2, 2))], axis=-2)
+                [jnp.stack([jnp.sum(lam[j] * oh[t].astype(lam.dtype),
+                                    axis=0) for oh in ohs], axis=0)
+                 for j, t in enumerate((1, 2, 2))], axis=0)
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
     a_hat = jnp.clip(inv_s * bw, np.float32(A_MIN), np.float32(A_MAX))
@@ -232,8 +259,7 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
         # v'_q = v_q + w_q * sym matches z = e * a_q(target) - v'_q
         # (lambda conditioning divided by bin_width folds into a_hat
         # because the symbol VALUE for RGB equals the symbol index)
-        tgt = jnp.stack([a_hat[..., 1, :], a_hat[..., 2, :],
-                         a_hat[..., 2, :]], axis=-2)
+        tgt = jnp.stack([a_hat[1], a_hat[2], a_hat[2]], axis=0)
         w_q = jnp.round(lam * tgt * np.float32(1 << ZF))
     return IntParams(p=p_q, a=a_q, sc=sc_q, v=v_q, w=w_q)
 
@@ -242,16 +268,15 @@ def apply_lambda_chain(v: jnp.ndarray, c: int,
                        w_slots: Tuple[jnp.ndarray, ...],
                        dec_syms: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
     """v' = clip(v + sum_j w_j * sym_j) for RGB channel c — THE single
-    expression of the lambda chain, shared by channel_int_params (full-
-    image) and the fused decode scan (per-step) so both sides produce
-    bit-identical f32 exact integers. w_slots are the (..., K) lambda
-    params for slots (0: c1<-c0, 1: c2<-c0, 2: c2<-c1); dec_syms are
-    the already-known channel SYMBOL arrays (exact ints 0..255)."""
+    expression of the lambda chain, shared by every caller so all
+    sides produce bit-identical f32 exact integers. v, w_slots are
+    (K', n); dec_syms are the already-known channel SYMBOL arrays
+    (exact ints 0..255), each (n,)."""
     if c == 1:
-        v = v + w_slots[0] * dec_syms[0].astype(_F)[..., None]
+        v = v + w_slots[0] * dec_syms[0].astype(_F)[None, :]
     elif c == 2:
-        v = (v + w_slots[1] * dec_syms[0].astype(_F)[..., None]
-             + w_slots[2] * dec_syms[1].astype(_F)[..., None])
+        v = (v + w_slots[1] * dec_syms[0].astype(_F)[None, :]
+             + w_slots[2] * dec_syms[1].astype(_F)[None, :])
     else:
         return v
     return jnp.clip(v, np.float32(-V_CLAMP), np.float32(V_CLAMP))
@@ -260,46 +285,65 @@ def apply_lambda_chain(v: jnp.ndarray, c: int,
 def channel_int_params(ip: IntParams, c: int,
                        dec_syms: Optional[Tuple[jnp.ndarray, ...]] = None
                        ) -> Tuple[jnp.ndarray, ...]:
-    """Flattened (n, K) params for channel c, with the RGB lambda chain
-    applied on SYMBOLS (exact ints 0..255): v' = v + w_j * sym_j.
+    """(K', n) params for channel c, with the RGB lambda chain applied
+    on SYMBOLS (exact ints 0..255): v' = v + w_j * sym_j.
 
     dec_syms: tuple of already-known channel symbol arrays, each (n,)
     int (decoded on the decode side, targets on the encode side)."""
-    def flat(x):
-        xc = x[..., c, :]
-        return xc.reshape(-1, xc.shape[-1])
-    p, a, sc, v = flat(ip.p), flat(ip.a), flat(ip.sc), flat(ip.v)
+    p, a, sc, v = ip.p[c], ip.a[c], ip.sc[c], ip.v[c]
     if ip.w is not None and c > 0 and dec_syms is not None:
-        def wflat(j):
-            wj = ip.w[..., j, :]
-            return wj.reshape(-1, wj.shape[-1])
         v = apply_lambda_chain(
-            v, c, (wflat(0), wflat(1), wflat(2)),
+            v, c, (ip.w[0], ip.w[1], ip.w[2]),
             tuple(s.reshape(-1) for s in dec_syms))
     return p, a, sc, v
+
+
+def _edges2(e) -> jnp.ndarray:
+    """Edge spec -> (E, n)-broadcastable (E, 1) or (E, n) f32."""
+    e = jnp.asarray(e, _F)
+    return e if e.ndim == 2 else e[:, None]
+
+
+def _cdf_one(p_q: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """CDF Q14 at ONE edge: p_q (K, n), z (K, n) clipped -> (n,).
+
+    The 2-edge lookups evaluate each edge separately on fully-tiled
+    (K, n) arrays: an (K, 2, n) batch would put E=2 in the sublane dim
+    (2 of 8 used — 4x waste). Same exact-integer function as
+    mixture_cdf_q14, so lookups still equal row entries bitwise."""
+    sg = int_sigmoid(z)
+    terms = _fdiv2(p_q * sg, 10)
+    K = terms.shape[0]
+    acc = terms[0]
+    for k in range(1, K):
+        acc = acc + terms[k]
+    return jnp.clip(acc, np.float32(0), np.float32(C_ONE))
+
+
+def _clip_z(z: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(z, np.float32(-Z_SAT), np.float32(Z_SAT))
 
 
 # ------------------------------------------------------ bn-scale tables
 
 
 def bn_cdf_at_edges(p, a, v, e) -> jnp.ndarray:
-    """CDF Q14 at integer edge indices e (n, E); params (n, K)."""
-    z = e[:, None, :] * a[..., None] - v[..., None]
+    """CDF Q14 at integer edge indices e ((E,) iota or (E, n));
+    params (K, n). Returns (E, n)."""
+    z = _edges2(e)[None] * a[:, None, :] - v[:, None, :]
     z = jnp.clip(z, np.float32(-Z_SAT), np.float32(Z_SAT))
     return mixture_cdf_q14(p, z)
 
 
 def bn_rows(ip: IntParams, C: int, L: int) -> jnp.ndarray:
-    """(C*n, L) uint16 decode rows for a bottleneck scale."""
+    """(L, C*n) uint16 decode rows for a bottleneck scale."""
     outs = []
-    iota = jnp.arange(L, dtype=jnp.float32)[None]
-    l_idx = jnp.arange(L, dtype=jnp.float32)
+    iota = jnp.arange(L, dtype=jnp.float32)
     for c in range(C):
         p, a, _, v = channel_int_params(ip, c)
-        cd = bn_cdf_at_edges(p, a, v, jnp.broadcast_to(iota,
-                                                       (p.shape[0], L)))
-        outs.append(quantize_edges(cd, l_idx, L))
-    return jnp.concatenate(outs, axis=0).astype(jnp.uint16)
+        cd = bn_cdf_at_edges(p, a, v, iota)
+        outs.append(quantize_edges(cd, iota[:, None], L))
+    return jnp.concatenate(outs, axis=1).astype(jnp.uint16)
 
 
 def bn_lookup(ip: IntParams, syms: jnp.ndarray, C: int, L: int
@@ -312,11 +356,11 @@ def bn_lookup(ip: IntParams, syms: jnp.ndarray, C: int, L: int
     for c in range(C):
         p, a, _, v = channel_int_params(ip, c)
         s = syms[c].astype(_F)
-        e = jnp.stack([s, s + np.float32(1)], axis=-1)     # (n, 2)
-        cd = bn_cdf_at_edges(p, a, v, e)
-        q = quantize_edges(cd, e, L)
-        starts.append(q[:, 0])
-        freqs.append(q[:, 1] - q[:, 0])
+        qs = [quantize_edges(
+            _cdf_one(p, _clip_z(e[None, :] * a - v)), e, L)
+            for e in (s, s + np.float32(1))]
+        starts.append(qs[0])
+        freqs.append(qs[1] - qs[0])
     start = jnp.stack(starts).astype(jnp.uint32)
     freq = jnp.stack(freqs).astype(jnp.uint32)
     return start, freq
@@ -330,9 +374,9 @@ FINE = 16
 
 
 def _coarse_cdf(p, a_sc, v, e_coarse) -> jnp.ndarray:
-    """CDF Q14 at coarse edges e (n, E) in COARSE units (0..16):
-    z = e * sc_q - v."""
-    z = e_coarse[:, None, :] * a_sc[..., None] - v[..., None]
+    """CDF Q14 at coarse edges e ((E,) or (E, n)) in COARSE units
+    (0..16): z = e * sc_q - v. Returns (E, n)."""
+    z = _edges2(e_coarse)[None] * a_sc[:, None, :] - v[:, None, :]
     z = jnp.clip(z, np.float32(-Z_SAT), np.float32(Z_SAT))
     return mixture_cdf_q14(p, z)
 
@@ -340,13 +384,11 @@ def _coarse_cdf(p, a_sc, v, e_coarse) -> jnp.ndarray:
 def rgb_coarse_rows(ip: IntParams, c: int,
                     dec_syms: Optional[Tuple[jnp.ndarray, ...]]
                     ) -> jnp.ndarray:
-    """(n, 16) uint16 coarse rows for RGB channel c."""
+    """(16, n) uint16 coarse rows for RGB channel c."""
     p, a, sc, v = channel_int_params(ip, c, dec_syms)
-    n = p.shape[0]
-    iota = jnp.broadcast_to(
-        jnp.arange(N_COARSE, dtype=jnp.float32)[None], (n, N_COARSE))
+    iota = jnp.arange(N_COARSE, dtype=jnp.float32)
     cd = _coarse_cdf(p, sc, v, iota)
-    return quantize_edges(cd, jnp.arange(N_COARSE, dtype=jnp.float32),
+    return quantize_edges(cd, iota[:, None],
                           N_COARSE).astype(jnp.uint16)
 
 
@@ -356,27 +398,27 @@ def rgb_coarse_lookup(ip: IntParams, c: int,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(start, freq) u32 for known coarse symbols a_sym (n,)."""
     p, a, sc, v = channel_int_params(ip, c, dec_syms)
-    af = a_sym.astype(_F)
-    e = jnp.stack([af, af + np.float32(1)], axis=-1)
-    cd = _coarse_cdf(p, sc, v, e)
-    q = quantize_edges(cd, e, N_COARSE)
-    return (q[:, 0].astype(jnp.uint32),
-            (q[:, 1] - q[:, 0]).astype(jnp.uint32))
+    af = a_sym.reshape(-1).astype(_F)
+    qs = [quantize_edges(
+        _cdf_one(p, _clip_z(e[None, :] * sc - v)), e, N_COARSE)
+        for e in (af, af + np.float32(1))]
+    return qs[0].astype(jnp.uint32), (qs[1] - qs[0]).astype(jnp.uint32)
 
 
 def _fine_cond_q14(p, a, sc, v, a_sym, e_fine) -> jnp.ndarray:
-    """Conditional CDF Q14 at fine edges e_fine (n, E) given coarse
-    symbols a_sym (n,). z_b = z_a + b * a_q keeps the quantized-slope
-    error independent of the absolute edge index. Tail absorption:
-    first/last coarse bin open toward -inf/+inf."""
-    af = a_sym.astype(_F)[:, None]
-    z_a = af[..., None, :] * sc[..., None] - v[..., None]   # (n, K, 1)
-    b_off = e_fine[:, None, :] * a[..., None]               # (n, K, E)
+    """Conditional CDF Q14 at fine edges e_fine ((E,) or (E, n)) given
+    coarse symbols a_sym (n,). z_b = z_a + b * a_q keeps the quantized-
+    slope error independent of the absolute edge index. Tail
+    absorption: first/last coarse bin open toward -inf/+inf.
+    Returns (E, n)."""
+    af = a_sym.astype(_F)[None, :]                          # (1, n)
+    z_a = af * sc - v                                       # (K, n)
+    b_off = _edges2(e_fine)[None] * a[:, None, :]           # (K, E, n)
     clip = lambda z: jnp.clip(z, np.float32(-Z_SAT), np.float32(Z_SAT))
-    c_e = mixture_cdf_q14(p, clip(z_a + b_off))
-    c_lo = mixture_cdf_q14(p, clip(z_a))[:, 0:1]
+    c_e = mixture_cdf_q14(p, clip(z_a[:, None, :] + b_off))  # (E, n)
+    c_lo = mixture_cdf_q14(p, clip(z_a)[:, None, :])         # (1, n)
     c_hi = mixture_cdf_q14(
-        p, clip(z_a + np.float32(FINE) * a[..., None]))[:, 0:1]
+        p, clip(z_a + np.float32(FINE) * a)[:, None, :])     # (1, n)
     lo = jnp.where(af == 0, np.float32(0), c_lo)
     hi = jnp.where(af == N_COARSE - 1, np.float32(C_ONE), c_hi)
     d = jnp.maximum(hi - lo, np.float32(1))
@@ -388,26 +430,35 @@ def _fine_cond_q14(p, a, sc, v, a_sym, e_fine) -> jnp.ndarray:
 def rgb_fine_rows(ip: IntParams, c: int,
                   dec_syms: Optional[Tuple[jnp.ndarray, ...]],
                   a_sym: jnp.ndarray) -> jnp.ndarray:
-    """(n, 16) uint16 fine rows conditional on coarse symbols."""
+    """(16, n) uint16 fine rows conditional on coarse symbols."""
     p, a, sc, v = channel_int_params(ip, c, dec_syms)
-    n = p.shape[0]
-    iota = jnp.broadcast_to(
-        jnp.arange(FINE, dtype=jnp.float32)[None], (n, FINE))
-    cond = _fine_cond_q14(p, a, sc, v, a_sym.reshape(n), iota)
-    return quantize_edges(cond, jnp.arange(FINE, dtype=jnp.float32),
-                          FINE).astype(jnp.uint16)
+    iota = jnp.arange(FINE, dtype=jnp.float32)
+    cond = _fine_cond_q14(p, a, sc, v, a_sym.reshape(-1), iota)
+    return quantize_edges(cond, iota[:, None], FINE).astype(jnp.uint16)
 
 
 def rgb_fine_lookup(ip: IntParams, c: int,
                     dec_syms: Optional[Tuple[jnp.ndarray, ...]],
                     a_sym: jnp.ndarray, b_sym: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(start, freq) u32 for known (coarse, fine) symbol pairs."""
+    """(start, freq) u32 for known (coarse, fine) symbol pairs.
+
+    Per-edge (K, n) evaluation (see _cdf_one); the conditional's
+    lo/hi/denominator are shared by both edges."""
     p, a, sc, v = channel_int_params(ip, c, dec_syms)
-    n = p.shape[0]
-    bf = b_sym.reshape(n).astype(_F)
-    e = jnp.stack([bf, bf + np.float32(1)], axis=-1)
-    cond = _fine_cond_q14(p, a, sc, v, a_sym.reshape(n), e)
-    q = quantize_edges(cond, e, FINE)
-    return (q[:, 0].astype(jnp.uint32),
-            (q[:, 1] - q[:, 0]).astype(jnp.uint32))
+    af = a_sym.reshape(-1).astype(_F)
+    bf = b_sym.reshape(-1).astype(_F)
+    z_a = af[None, :] * sc - v                               # (K, n)
+    c_lo = _cdf_one(p, _clip_z(z_a))
+    c_hi = _cdf_one(p, _clip_z(z_a + np.float32(FINE) * a))
+    lo = jnp.where(af == 0, np.float32(0), c_lo)             # (n,)
+    hi = jnp.where(af == N_COARSE - 1, np.float32(C_ONE), c_hi)
+    d = jnp.maximum(hi - lo, np.float32(1))
+    qs = []
+    for e in (bf, bf + np.float32(1)):
+        c_e = _cdf_one(p, _clip_z(z_a + e[None, :] * a))
+        num = jnp.maximum(c_e - lo, np.float32(0)) * np.float32(C_ONE)
+        cond = jnp.clip(_floor_div(num, d), np.float32(0),
+                        np.float32(C_ONE))
+        qs.append(quantize_edges(cond, e, FINE))
+    return qs[0].astype(jnp.uint32), (qs[1] - qs[0]).astype(jnp.uint32)

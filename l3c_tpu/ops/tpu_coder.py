@@ -424,17 +424,20 @@ def _decode_symbol(x: jnp.ndarray, row: jnp.ndarray, win: jnp.ndarray,
     expression of the decode step, factored out so every decode path
     (channel-sequential or any future fused scan) stays bit-identical.
 
-    x (NS,) u32 states; row (NS, L) int32 CDF edges; win (NS, 16) i32
-    window words; loc (NS,) i32 position of each lane's next word in
-    its window; m (NS,) bool active mask.
+    x (NS,) u32 states; row (L, NS) int32 CDF edges (LANE-MAJOR: the
+    searchsorted reductions run over the leading L axis as L slices of
+    fully-tiled (NS,) work — the (NS, L) minor-L layout wasted 7/8 of
+    every vector tile at L=16); win (NS, 16) i32 window words; loc
+    (NS,) i32 position of each lane's next word in its window; m (NS,)
+    bool active mask.
     Returns (s (NS,) i32 symbols, x' updated states, consumed (NS,) i32
     0/1 words consumed)."""
     top = jnp.int32(65536)
     cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    le = row <= cf[:, None]
-    s = jnp.maximum(jnp.sum(le, axis=1) - 1, 0)
-    start = jnp.max(jnp.where(le, row, 0), axis=1)
-    high = jnp.minimum(jnp.min(jnp.where(le, top, row), axis=1), top)
+    le = row <= cf[None, :]
+    s = jnp.maximum(jnp.sum(le.astype(jnp.int32), axis=0) - 1, 0)
+    start = jnp.max(jnp.where(le, row, 0), axis=0)
+    high = jnp.minimum(jnp.min(jnp.where(le, top, row), axis=0), top)
     high = jnp.where(s == L - 1, top, high)
     f = (high - start).astype(jnp.uint32)
     x1 = f * (x >> 16) + (x & jnp.uint32(0xFFFF)) \
@@ -479,18 +482,18 @@ def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
                 mask_t: jnp.ndarray, L: int) -> jnp.ndarray:
     """Decode streams against per-position CDF rows.
 
-    tables:   (NS, T, L) uint16 rows in STREAM ORDER — each scan step
-              dynamic-slices its (NS, U, L) block in-body, so no
-              transposed (steps, U, NS, L) copy of the full table set
-              ever materializes in HBM (it used to double the decode's
-              table traffic)
+    tables:   (L, NS, T) uint16 rows, LANE-MAJOR. They are relaid once
+              to (steps, U, L, NS) and fed as scan xs, so each step's
+              block is a contiguous leading-axis slice and every
+              per-symbol row is a fully-tiled (L, NS) array (a minor-
+              axis U or L dim would waste most of each 128-lane tile).
     words:    (NS, W) uint16 stream words (decode order)
     mask_t:   (steps, U, NS) bool
     Returns syms (NS, T) int32.
     """
     ns, W = words.shape
     n_steps = mask_t.shape[0]
-    tbl = tables.reshape(ns, n_steps, UNROLL, L)
+    tbl = tables.reshape(L, ns, n_steps, UNROLL).transpose(2, 3, 0, 1)
     x0 = (words[:, 0].astype(jnp.uint32)
           | (words[:, 1].astype(jnp.uint32) << 16))
     cur0 = jnp.full((ns,), 2, jnp.int32)
@@ -508,24 +511,20 @@ def rans_decode(tables: jnp.ndarray, words: jnp.ndarray,
 
     def step(carry, xs_t):
         x, cur = carry
-        t_idx, m_u = xs_t
-        rows_u = jax.lax.dynamic_slice_in_dim(
-            tbl, t_idx, 1, axis=1)[:, 0]                    # (NS, U, L)
+        rows_t, m_u = xs_t                                   # (U, L, NS)
         win = _window_fetch(words_ch, ch_iota, cur, n_wch)
         loc = cur & 7                                        # (NS,)
         ss = []
         for u in range(UNROLL):
             s, x, upd = _decode_symbol(
-                x, rows_u[:, u].astype(jnp.int32), win, loc, m_u[u],
+                x, rows_t[u].astype(jnp.int32), win, loc, m_u[u],
                 L, w16_iota)
             cur = cur + upd
             loc = loc + upd
             ss.append(s)
         return (x, cur), jnp.stack(ss)
 
-    (_, _), syms = jax.lax.scan(
-        step, (x0, cur0),
-        (jnp.arange(n_steps, dtype=jnp.int32), mask_t))
+    (_, _), syms = jax.lax.scan(step, (x0, cur0), (tbl, mask_t))
     return syms.reshape(n_steps * UNROLL, ns).T.astype(jnp.int32)
 
 
@@ -553,13 +552,14 @@ def encode_sf(start: jnp.ndarray, freq: jnp.ndarray, lay: StreamLayout):
 
 def decode_channels(tables: jnp.ndarray, words: jnp.ndarray, L: int,
                     lay: StreamLayout) -> jnp.ndarray:
-    """tables (C*n, L) u16, words (lanes, T+2) -> syms (C, n) int32."""
-    t = tables.reshape(lay.C, lay.n, L)
-    t = jnp.pad(t, ((0, 0), (0, lay.pad), (0, 0)))
+    """tables (L, C*n) u16 LANE-MAJOR, words (lanes, T+2)
+    -> syms (C, n) int32."""
+    t = tables.reshape(L, lay.C, lay.n)
+    t = jnp.pad(t, ((0, 0), (0, 0), (0, lay.pad)))
     mask = jnp.asarray(_mask_for(lay))
     mask_t = mask.reshape(lay.lanes, lay.T // UNROLL, UNROLL)\
         .transpose(1, 2, 0)
-    syms = rans_decode(t.reshape(lay.lanes, lay.T, L), words, mask_t, L)
+    syms = rans_decode(t.reshape(L, lay.lanes, lay.T), words, mask_t, L)
     return _from_streams(syms, lay)
 
 
@@ -573,7 +573,7 @@ def encode_uniform(syms: jnp.ndarray, L: int, lay: StreamLayout):
 def decode_uniform(words: jnp.ndarray, L: int, lay: StreamLayout
                    ) -> jnp.ndarray:
     row = jnp.asarray(uniform_cdf_row(L))
-    tables = jnp.broadcast_to(row, (lay.C * lay.n, L))
+    tables = jnp.broadcast_to(row[:, None], (L, lay.C * lay.n))
     return decode_channels(tables, words, L, lay)
 
 

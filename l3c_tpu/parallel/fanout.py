@@ -44,13 +44,14 @@ class CodecFanout:
 
     def __init__(self, cfg: MsConfig, net: MultiscaleNetwork, params,
                  devices: Optional[Sequence[jax.Device]] = None,
-                 group: int = 8):
+                 group: int = 8, coder_profile: Optional[str] = None):
         from ..codec.bitcoding2 import TpuBitcoding, fbatch_for
         self.devices = list(devices if devices is not None
                             else jax.devices())
         self.group = group
         fbatch_for(group)  # validate group size against FBATCHES
-        self.codecs = [TpuBitcoding(cfg, net, params, device=d)
+        self.codecs = [TpuBitcoding(cfg, net, params, device=d,
+                                    coder_profile=coder_profile)
                        for d in self.devices]
 
     def encode_paths(self, imgs: Sequence[np.ndarray],

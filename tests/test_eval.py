@@ -109,3 +109,53 @@ def test_compare_theory_per_scale_breakdown(tester_setup, img_dir,
     # one bitrate column per scale + the uniform tail
     theory_line = [ln for ln in out.splitlines() if "theory:" in ln][0]
     assert theory_line.count("|") == cfg.num_scales
+
+
+def test_write_to_files_batched_groups(tester_setup, img_dir, tmp_path):
+    """Same-shape images go through encode_batch/decode_batch in one
+    group (fbatch recorded per group), mixed shapes fall back cleanly,
+    and every file round-trips bit-exactly."""
+    cfg, net, params, log_dir = tester_setup
+    # add one odd-shaped image so two shape groups exist
+    odd_dir = str(tmp_path / "mixed")
+    os.makedirs(odd_dir)
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 256, (20, 24, 3)).astype(
+            np.uint8)).save(os.path.join(odd_dir, f"a{i}.png"))
+    Image.fromarray(rng.randint(0, 256, (24, 20, 3)).astype(
+        np.uint8)).save(os.path.join(odd_dir, "odd.png"))
+    ts = Testset(odd_dir)
+    t = MultiscaleTester(cfg, net, params)
+    out = str(tmp_path / "enc_b")
+    res = t.write_to_files(ts, out, group=4)
+    assert len(res.per_img) == 4
+    # the three same-shape images were coded in ONE group: their files
+    # record fbatch=4 (the padded physical batch), the odd one fbatch=1
+    import struct
+    fbs = {}
+    for f in os.listdir(out):
+        with open(os.path.join(out, f), "rb") as fh:
+            fh.read(4)
+            _, _, fb, _ = struct.unpack("<BBBB", fh.read(4))
+            fbs[f] = fb
+    assert fbs["odd.l3c"] == 1
+    assert all(v == 4 for k, v in fbs.items() if k != "odd.l3c")
+
+
+def test_write_to_files_fanout_mesh(tester_setup, img_dir, tmp_path):
+    """tester -> CodecFanout path on the 8-device CPU mesh: groups
+    round-robin across devices; results and files bit-exact."""
+    cfg, net, params, log_dir = tester_setup
+    many_dir = str(tmp_path / "many")
+    os.makedirs(many_dir)
+    rng = np.random.RandomState(4)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 256, (20, 24, 3)).astype(
+            np.uint8)).save(os.path.join(many_dir, f"m{i}.png"))
+    ts = Testset(many_dir)
+    t = MultiscaleTester(cfg, net, params)
+    out = str(tmp_path / "enc_f")
+    res = t.write_to_files(ts, out, group=2, fanout=True)
+    assert len(res.per_img) == 5
+    assert all(0 < v < 50 for v in res.per_img.values())

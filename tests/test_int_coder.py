@@ -99,20 +99,20 @@ def test_sigmoid_exhaustive():
 def test_bn_rows_match_oracle():
     n, K, L = 512, 4, 25
     p_q, a_q, v_q = rand_params(n, K, seed=1)
+    # lane-major call: params (K, n), edges (L+1,) iota -> cd (L+1, n)
     fn = jax.jit(lambda p, a, v: ic.bn_cdf_at_edges(
-        p, a, v, jnp.broadcast_to(
-            jnp.arange(L + 1, dtype=jnp.float32)[None], (n, L + 1))))
-    cd = np.asarray(fn(*(jnp.asarray(x, jnp.float32)
+        p, a, v, jnp.arange(L + 1, dtype=jnp.float32)))
+    cd = np.asarray(fn(*(jnp.asarray(x.T, jnp.float32)
                          for x in (p_q, a_q, v_q))), np.int64)
     e = np.arange(L + 1)
     z = np.clip(e[None, None, :] * a_q[..., None] - v_q[..., None],
                 -ic.Z_SAT, ic.Z_SAT)
-    np.testing.assert_array_equal(cd, oracle_cdf_q14(p_q, z))
+    np.testing.assert_array_equal(cd.T, oracle_cdf_q14(p_q, z))
     q = np.asarray(jax.jit(
-        lambda c: ic.quantize_edges(c, jnp.arange(L + 1,
-                                                  dtype=jnp.float32), L))(
+        lambda c: ic.quantize_edges(
+            c, jnp.arange(L + 1, dtype=jnp.float32)[:, None], L))(
         jnp.asarray(cd, jnp.float32)), np.int64)
-    np.testing.assert_array_equal(q, oracle_quantize(cd, e, L))
+    np.testing.assert_array_equal(q.T, oracle_quantize(cd.T, e, L))
 
 
 def test_rows_strictly_increasing_adversarial():
@@ -134,14 +134,15 @@ def test_cross_program_two_edge_equals_rows():
 
     @jax.jit
     def rows_program(p, a, v):
-        # full rows inside a bigger fused context
-        e = jnp.broadcast_to(jnp.arange(L, dtype=jnp.float32)[None],
-                             (p.shape[0], L))
-        cd = ic.bn_cdf_at_edges(p, a, v, e)
-        q = ic.quantize_edges(cd, jnp.arange(L, dtype=jnp.float32), L)
+        # full rows inside a bigger fused context (lane-major (K, n))
+        cd = ic.bn_cdf_at_edges(p, a, v,
+                                jnp.arange(L, dtype=jnp.float32))
+        q = ic.quantize_edges(
+            cd, jnp.arange(L, dtype=jnp.float32)[:, None], L)
         return q + 0.0 * jnp.sum(p)          # extra consumer, new fusion
 
-    rows = np.asarray(rows_program(*args), np.int64)          # (n, L)
+    rows = np.asarray(rows_program(*(a.T for a in args)),
+                      np.int64).T                             # (n, L)
 
     for shape_mode in ("flat", "padded", "chunk"):
         if shape_mode == "flat":
@@ -157,14 +158,14 @@ def test_cross_program_two_edge_equals_rows():
         def lookup_program(p, a, v, s):
             # different surrounding ops -> different fusion decisions
             p = p * jnp.float32(1.0)
-            e = jnp.stack([s, s + np.float32(1)], axis=-1)
+            e = jnp.stack([s, s + np.float32(1)], axis=0)
             cd = ic.bn_cdf_at_edges(p, a, v, e)
             q = ic.quantize_edges(cd, e, L)
-            return (q[:, 0], q[:, 1] - q[:, 0],
+            return (q[0], q[1] - q[0],
                     jnp.sum(jnp.sqrt(jnp.abs(v))))  # extra fused consumer
 
         st, fr, _ = lookup_program(
-            *(x[jnp.asarray(sel)] for x in args),
+            *(x.T[:, jnp.asarray(sel)] for x in args),
             jnp.asarray(syms, jnp.float32))
         st, fr = np.asarray(st, np.int64), np.asarray(fr, np.int64)
         top = np.concatenate([rows[sel], np.full((len(sel), 1), 65536)],
@@ -197,7 +198,7 @@ def test_rgb_fine_lookup_matches_rows_with_lambda():
         b_c = jnp.asarray(b_sym[..., c].reshape(-1))
         rows = np.asarray(jax.jit(
             lambda ipp, d, a: ic.rgb_fine_rows(ipp, c, d, a))(
-            ip, dec, a_c), np.int64)
+            ip, dec, a_c), np.int64).T
         st, fr = jax.jit(
             lambda ipp, d, a, b: ic.rgb_fine_lookup(ipp, c, d, a, b))(
             ip, dec, a_c, b_c)
@@ -213,7 +214,7 @@ def test_rgb_fine_lookup_matches_rows_with_lambda():
         # coarse too
         crows = np.asarray(jax.jit(
             lambda ipp, d: ic.rgb_coarse_rows(ipp, c, d))(ip, dec),
-            np.int64)
+            np.int64).T
         cst, cfr = jax.jit(
             lambda ipp, d, a: ic.rgb_coarse_lookup(ipp, c, d, a))(
             ip, dec, a_c)
@@ -240,7 +241,7 @@ def test_pack_topk_and_bitrate_sanity():
     ip = jax.jit(lambda lv: ic.pack_int_params(spec, lv, C))(
         jnp.asarray(l))
     rows = np.asarray(jax.jit(
-        lambda ipp: ic.bn_rows(ipp, C, L))(ip), np.int64)
+        lambda ipp: ic.bn_rows(ipp, C, L))(ip), np.int64).T
     top = np.concatenate([rows, np.full((rows.shape[0], 1), 65536)], 1)
     p_int = np.diff(top, axis=1) / 65536.0
     assert (np.diff(top, axis=1) >= 1).all()
@@ -263,7 +264,7 @@ def test_pack_topk_and_bitrate_sanity():
     ip4 = jax.jit(lambda lv: ic.pack_int_params(spec, lv, C, topk=4))(
         jnp.asarray(l))
     rows4 = np.asarray(jax.jit(
-        lambda ipp: ic.bn_rows(ipp, C, L))(ip4), np.int64)
+        lambda ipp: ic.bn_rows(ipp, C, L))(ip4), np.int64).T
     top4 = np.concatenate([rows4, np.full((rows4.shape[0], 1), 65536)],
                           1)
     assert (np.diff(top4, axis=1) >= 1).all()

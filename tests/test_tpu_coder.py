@@ -13,6 +13,12 @@ from l3c_tpu.models import dmll
 from l3c_tpu.ops import tpu_coder as tc
 
 
+def _dec(tables_nl, words, L, lay):
+    """decode_channels takes LANE-MAJOR (L, C*n) tables since round 4;
+    tests build row-major (C*n, L) oracles and transpose here."""
+    return tc.decode_channels(jnp.transpose(tables_nl), words, L, lay)
+
+
 def _rand_table(rng, n, L):
     """Random valid tables: strictly increasing uint16 rows, freq>=1."""
     raw = rng.randint(0, 65536 - L, size=(n, L))
@@ -31,7 +37,7 @@ def test_rans_roundtrip_random_tables(n, C, L):
     words, lens = jax.jit(
         lambda t, s: tc.encode_channels(t, s, L, lay))(table, syms)
     out = jax.jit(
-        lambda t, w: tc.decode_channels(t, w, L, lay))(table, words)
+        lambda t, w: _dec(t, w, L, lay))(table, words)
     np.testing.assert_array_equal(np.asarray(out).reshape(-1),
                                   np.asarray(syms))
     assert int(jnp.max(lens)) <= lay.T + 2
@@ -51,7 +57,7 @@ def test_channel_slices_decode_independently():
     for c in range(C):
         w_c = words[c * lay1.ns_c: (c + 1) * lay1.ns_c]
         t_c = table[c * n: (c + 1) * n]
-        out = tc.decode_channels(t_c, w_c, L, lay1)
+        out = _dec(t_c, w_c, L, lay1)
         np.testing.assert_array_equal(
             np.asarray(out).reshape(-1), syms[c * n: (c + 1) * n])
 
@@ -69,7 +75,7 @@ def test_rans_skewed_distribution():
     syms[::3] = 0
     syms[::7] = 13
     words, lens = tc.encode_channels(table, jnp.asarray(syms), L, lay)
-    out = tc.decode_channels(table, words, L, lay)
+    out = _dec(table, words, L, lay)
     np.testing.assert_array_equal(np.asarray(out).reshape(-1), syms)
 
 
@@ -103,7 +109,7 @@ def test_bitrate_tracks_entropy():
     actual_bits = float(jnp.sum(lens)) * 16
     overhead = actual_bits / entropy_bits - 1
     assert overhead < 0.06, (actual_bits, entropy_bits)
-    out = tc.decode_channels(table, words, L, lay)
+    out = _dec(table, words, L, lay)
     np.testing.assert_array_equal(np.asarray(out).reshape(-1), syms)
 
 
@@ -177,7 +183,7 @@ def test_encode_matches_decode_through_mixture_tables():
     tables = tc.mixture_tables_all_channels(spec, l, C, None)
     syms = jnp.asarray(rng.randint(0, 25, C * H * W).astype(np.int32))
     words, lens = tc.encode_channels(tables, syms, 25, lay)
-    out = tc.decode_channels(tables, words, 25, lay)
+    out = _dec(tables, words, 25, lay)
     np.testing.assert_array_equal(np.asarray(out).reshape(-1),
                                   np.asarray(syms))
 
@@ -262,12 +268,12 @@ def test_two_level_roundtrip_chain():
 
     ct = tc.rgb_coarse_tables(spec, l, 2, 3, dec)
     wa, _ = tc.encode_channels(ct, jnp.asarray(a), 16, lay)
-    a_dec = tc.decode_channels(ct, wa, 16, lay).reshape(-1)
+    a_dec = _dec(ct, wa, 16, lay).reshape(-1)
     np.testing.assert_array_equal(np.asarray(a_dec), a)
 
     ft = tc.rgb_fine_tables(spec, l, 2, 3, dec, a_dec)
     wb, _ = tc.encode_channels(ft, jnp.asarray(b), 16, lay)
-    b_dec = tc.decode_channels(ft, wb, 16, lay).reshape(-1)
+    b_dec = _dec(ft, wb, 16, lay).reshape(-1)
     np.testing.assert_array_equal(np.asarray(b_dec), b)
     np.testing.assert_array_equal(
         (np.asarray(a_dec) << 4) | np.asarray(b_dec), syms)

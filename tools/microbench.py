@@ -167,7 +167,7 @@ def main():
             # block from recompiling all three row builders
             raise RuntimeError("row builder skipped above")
         ct = jnp.concatenate(
-            [np.asarray(r) for r in rgb_rows_j()[0::2]], 0)
+            [np.asarray(r) for r in rgb_rows_j()[0::2]], 1)
         enc_c = jax.jit(lambda ip, a: tc.encode_sf(
             *[jnp.concatenate(v) for v in zip(
                 *[ic.rgb_coarse_lookup(ip, c, tuple(
@@ -179,7 +179,7 @@ def main():
             tbl, w, tc.N_COARSE, tc.layout_for(n, F, T_u)))
         total += timeit(
             "dec scan coarse full-width",
-            lambda: dec_scan(ct[: F * n],
+            lambda: dec_scan(ct[:, : F * n],
                              words_c[: words_c.shape[0] // 3]),
             out_of=lambda r: r)
     except Exception as e:
