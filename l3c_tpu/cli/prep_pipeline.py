@@ -43,6 +43,10 @@ def main(argv=None):
                         "offline corpus as extra training sources")
     p.add_argument("--synth_tiles", type=int, default=40,
                    help="tiles per synthetic family")
+    p.add_argument("--tiles_scene", type=int, default=24,
+                   help="offline corpus: tiles per scene source")
+    p.add_argument("--tiles_texture", type=int, default=40,
+                   help="offline corpus: tiles per texture source")
     flags = p.parse_args(argv)
 
     if flags.offline:
@@ -61,6 +65,8 @@ def main(argv=None):
         extra = extra or None
         train_dir, val_dir, _ = build_corpus(
             flags.out_root, tile=flags.tile, noise_frac=flags.noise_frac,
+            tiles_scene=flags.tiles_scene,
+            tiles_texture=flags.tiles_texture,
             extra_train_dirs=extra)
     elif flags.inp_dir:
         from ..data import prep

@@ -198,19 +198,24 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
     single float stage of the v8 coder; everything after is
     program-shape-independent integer math.
 
-    Lane-major: the (N,H,W,P,C,K) view of `l` is transposed once to
-    (P, C, K, n); every reduction (softmax, top-k selection) runs over
-    the leading K axis as K slices of fully-tiled (n,) work."""
+    Lane-major: each param group's (N,H,W,C,K) slice of `l` is
+    transposed to (C, K, n); every reduction (softmax, top-k
+    selection) runs over the leading K axis as K slices of fully-tiled
+    (n,) work. Per-group slice transposes measured ~17% cheaper than
+    one whole-l transpose (tools/pack_probe.py)."""
     lr = dmll_mod._reshape_l(spec, l, C)           # (N,H,W,P,C,K)
     N, H, W, P, _, K = lr.shape
     n = N * H * W
-    lt = lr.transpose(3, 4, 5, 0, 1, 2).reshape(P, C, K, n)
-    lt = lt.astype(jnp.float32)
-    pi = jax.nn.softmax(lt[0], axis=1)             # (C, K, n)
-    mu = lt[1]
-    inv_s = jnp.exp(-jnp.maximum(lt[2], np.float32(
+
+    def tp(i):
+        return lr[..., i, :, :].astype(jnp.float32)\
+            .transpose(3, 4, 0, 1, 2).reshape(C, K, n)
+
+    pi = jax.nn.softmax(tp(0), axis=1)             # (C, K, n)
+    mu = tp(1)
+    inv_s = jnp.exp(-jnp.maximum(tp(2), np.float32(
         dmll_mod.LOG_SCALES_MIN)))
-    lam = jax.nn.sigmoid(lt[3]) if spec.rgb_scale else None
+    lam = jax.nn.sigmoid(tp(3)) if spec.rgb_scale else None
     if topk and K > topk:
         # Iterative one-hot argmax, NOT lax.top_k: top_k lowers to a
         # full sort plus gathers; k rounds of max + first-match one-hot
