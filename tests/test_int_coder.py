@@ -271,3 +271,32 @@ def test_pack_topk_and_bitrate_sanity():
     p4 = np.diff(top4, axis=1) / 65536.0
     x4 = -(p_true * np.log2(p4)).sum(-1).mean()
     assert x4 / H_true - 1 < 0.03, (H_true, x4)
+
+
+def test_topk_masks_match_stable_argsort_oracle():
+    """Rank-based top-k selection == numpy stable descending top-k,
+    including exact ties (ties must break to the LOWER index so both
+    coder sides agree for any input)."""
+    rng = np.random.RandomState(3)
+    C, K, n, topk = 2, 10, 64, 4
+    pi = rng.rand(C, K, n).astype(np.float32)
+    # engineered ties: duplicate the max into a later slot for some
+    # pixels, triple-tie a mid value for others
+    pi[0, 7, :16] = pi[0, 2, :16]
+    pi[1, 4, 16:32] = pi[1, 1, 16:32]
+    pi[1, 9, 16:32] = pi[1, 1, 16:32]
+    masks = jax.jit(lambda p: ic.topk_masks(p, topk))(jnp.asarray(pi))
+    masks = [np.asarray(m) for m in masks]
+    # oracle: stable argsort of -pi (stable => ties keep low index
+    # first), one component per rank slot
+    order = np.argsort(-pi, axis=1, kind="stable")
+    for r in range(topk):
+        exp = np.zeros((C, K, n), bool)
+        for c in range(C):
+            exp[c, order[c, r, np.arange(n)], np.arange(n)] = True
+        np.testing.assert_array_equal(masks[r], exp, err_msg=f"r={r}")
+    # disjoint and exactly one per pixel
+    total = np.sum(masks, axis=0)
+    assert total.max() <= 1
+    counts = np.sum(total, axis=1)          # selections per (c, pixel)
+    assert counts.min() == topk and counts.max() == topk
