@@ -246,8 +246,22 @@ class TpuBitcoding:
         # components (renormalized; the host backend's PI_SKIP analogue)
         # — recorded in the header; decode rebuilds per the file's
         # value, so instances can decode files with any topk.
-        self.coder_topk = (int(os.environ.get("L3C_CODER_TOPK", "0"))
-                           if coder_topk is None else int(coder_topk))
+        # Default follows the coder PROFILE: serving profiles
+        # (speed/balanced) code with top-4 mixtures — the dominant
+        # row-build/lookup cost scales with K, and K=10 -> 4 measured
+        # dec rgb scale-0 121 -> 74 ms and enc units 52 -> 24 ms at
+        # the bench shape for +0.27% bitrate on the converged model —
+        # while the bitrate-headline profile (size) keeps the full
+        # mixture. Explicit coder_topk / L3C_CODER_TOPK override both.
+        profile = coder_profile or tc.CODER_PROFILE
+        default_topk = 0 if profile == "size" else 4
+        env_topk = os.environ.get("L3C_CODER_TOPK")
+        if coder_topk is not None:
+            self.coder_topk = int(coder_topk)
+        elif env_topk is not None:
+            self.coder_topk = int(env_topk)
+        else:
+            self.coder_topk = default_topk
 
         def _get_P_int(p, bn, decF, s, topk):
             ls, dec_F = self.net.apply(p, s, bn, decF,

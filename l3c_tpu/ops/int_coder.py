@@ -238,13 +238,15 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
         return lr[..., i, :, :].astype(jnp.float32)\
             .transpose(3, 4, 0, 1, 2).reshape(C, K, n)
 
-    pi = jax.nn.softmax(tp(0), axis=1)             # (C, K, n)
-    mu = tp(1)
-    inv_s = jnp.exp(-jnp.maximum(tp(2), np.float32(
-        dmll_mod.LOG_SCALES_MIN)))
-    lam = jax.nn.sigmoid(tp(3)) if spec.rgb_scale else None
     if topk and K > topk:
-        ohs = topk_masks(pi, topk)
+        # Select BEFORE the transcendentals: softmax is strictly
+        # monotone per pixel, so ranking the raw pi LOGITS picks the
+        # same components as ranking softmax probs — and then the
+        # softmax/exp/sigmoid all run on K'=topk components instead
+        # of K. Renormalized top-k probs = softmax over the selected
+        # logits directly.
+        pl = tp(0)                                 # pi logits (C, K, n)
+        ohs = topk_masks(pl, topk)
 
         def sel(x, masks):
             # x (C, K, n), masks [(C, K, n)] -> (C, topk, n)
@@ -252,17 +254,27 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
                 [jnp.sum(x * m.astype(x.dtype), axis=1)
                  for m in masks], axis=1)
 
-        top_pi = sel(pi, ohs)
-        pi = top_pi / jnp.sum(top_pi, axis=1, keepdims=True)
-        mu = sel(mu, ohs)
-        inv_s = sel(inv_s, ohs)
-        if lam is not None:
+        # mask arithmetic on logits: the selected logit rides a sum of
+        # zeros, exact — sel(x)[r] IS the rank-r component's value
+        pi = jax.nn.softmax(sel(pl, ohs), axis=1)
+        mu = sel(tp(1), ohs)
+        inv_s = jnp.exp(-jnp.maximum(sel(tp(2), ohs), np.float32(
+            dmll_mod.LOG_SCALES_MIN)))
+        lam = None
+        if spec.rgb_scale:
             # lam slot j conditions TARGET channel (1, 2, 2): each slot
             # follows its target channel's component selection
-            lam = jnp.stack(
-                [jnp.stack([jnp.sum(lam[j] * oh[t].astype(lam.dtype),
+            ll = tp(3)
+            lam = jax.nn.sigmoid(jnp.stack(
+                [jnp.stack([jnp.sum(ll[j] * oh[t].astype(ll.dtype),
                                     axis=0) for oh in ohs], axis=0)
-                 for j, t in enumerate((1, 2, 2))], axis=0)
+                 for j, t in enumerate((1, 2, 2))], axis=0))
+    else:
+        pi = jax.nn.softmax(tp(0), axis=1)         # (C, K, n)
+        mu = tp(1)
+        inv_s = jnp.exp(-jnp.maximum(tp(2), np.float32(
+            dmll_mod.LOG_SCALES_MIN)))
+        lam = jax.nn.sigmoid(tp(3)) if spec.rgb_scale else None
     bw = np.float32(spec.bin_width)
     t0 = np.float32(spec.x_min - spec.bin_width / 2.0)
     a_hat = jnp.clip(inv_s * bw, np.float32(A_MIN), np.float32(A_MAX))
