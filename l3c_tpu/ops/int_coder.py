@@ -215,7 +215,14 @@ def topk_masks(pi: jnp.ndarray, topk: int) -> list:
         rank = rank + jnp.where(
             pi == pj, (np.float32(j) < k_iota).astype(pi.dtype),
             (pj > pi).astype(pi.dtype))
-    return [rank == np.float32(r) for r in range(topk)]
+    # Materialize rank ONCE as u8 (K <= 255) behind a fusion barrier:
+    # without it XLA's loop-fusion re-derives the whole K-pass rank
+    # accumulation inside EVERY masked-sum consumer (4 groups x topk
+    # stack entries), turning one O(K^2 n) pass into ~16 — measured
+    # +24.5 ms on get_P[0] at the bench shape. A 60 MB u8 spill is
+    # ~0.1 ms of HBM traffic; mask compares against it are free.
+    rank = jax.lax.optimization_barrier(rank.astype(jnp.uint8))
+    return [rank == np.uint8(r) for r in range(topk)]
 
 
 def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
