@@ -43,7 +43,7 @@ def main():
     ckpt_dir = os.environ.get(
         "L3C_BENCH_CKPT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "models_zoo", "0817_1604 cr oi_offline r3long"))
+                     "models_zoo", "0819_0307 cr oi_offline r4long"))
     params = None
     if ckpt_dir != "none" and os.path.isdir(ckpt_dir):
         from l3c_tpu.train.saver import Restorer
