@@ -414,6 +414,270 @@ def _fam_camnoise(rng, n):
     return _camera_degrade(u8, rng).astype(np.float64) / 255.0
 
 
+def _fam_layers(rng, n):
+    """Occlusion-depth composite: textured blobs stacked with hard
+    silhouettes and soft drop shadows over a smooth background — the
+    object-over-object statistic (occlusion boundaries whose two sides
+    carry UNRELATED textures, plus correlated shadow luminance) that no
+    single-field family produces."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    bg = _rgb_mix(rng, np.stack([_spectral_noise(rng, n, 2.4)]))
+    fills = [_fam_grain, _fam_aniso, _fam_marble, _fam_waves,
+             _fam_spectral]
+    rgb = bg
+    for _ in range(rng.randint(3, 7)):
+        cy, cx = rng.uniform(0.1 * n, 0.9 * n, 2)
+        r0 = rng.uniform(0.12, 0.35) * n
+        wob = _spectral_noise(rng, n, 2.8) * rng.uniform(0.1, 0.35)
+        r = np.hypot(yy - cy, xx - cx)
+        m = 1 / (1 + np.exp((r - r0 * (1 + wob)) / rng.uniform(0.6, 2.0)))
+        # drop shadow: the SAME mask shifted along the light direction
+        dy, dx = rng.randint(3, 12), rng.randint(3, 12)
+        sh = np.roll(np.roll(m, dy, axis=0), dx, axis=1)
+        rgb = rgb * (1 - 0.45 * sh[..., None] * (1 - m[..., None]))
+        fill = fills[rng.randint(len(fills))](rng, n)
+        rgb = rgb * (1 - m[..., None]) + fill * m[..., None]
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def _fam_specular(rng, n):
+    """Glossy surface: matte base + sparse NARROW saturated highlights
+    (specular lobes crush to the white point in real photos — a heavy
+    right-tail luminance statistic with hard clipping)."""
+    base = _rgb_mix(rng, np.stack([_spectral_noise(rng, n, 2.2)]),
+                    sat=0.7) * rng.uniform(0.4, 0.7)
+    bump = _spectral_noise(rng, n, rng.uniform(1.6, 2.2))
+    q = np.percentile(bump, rng.uniform(90, 98))
+    spec = 1 / (1 + np.exp(-(bump - q) * rng.uniform(6, 20)))
+    tint = np.array([1.0, rng.uniform(0.9, 1.0), rng.uniform(0.85, 1.0)])
+    return np.clip(base + spec[..., None] * tint * rng.uniform(0.8, 1.6),
+                   0.0, 1.0)
+
+
+def _fam_perspective(rng, n):
+    """Ground-plane texture under perspective: texture scale GROWS
+    towards the horizon (roads, floors, fields) with a sky band above —
+    a spatially varying power spectrum tied to image y, which every
+    stationary generator lacks."""
+    from scipy.ndimage import map_coordinates
+    tex = _spectral_noise(rng, n, rng.uniform(1.4, 2.0))
+    horizon = rng.uniform(0.15, 0.45) * n
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    # pinhole ground projection: depth ~ 1/(y - horizon)
+    d = np.maximum(yy - horizon, 1e-3)
+    scale = rng.uniform(20.0, 80.0)
+    v = (scale * n / d) % n
+    u = ((xx - n / 2) * (scale * 4 / d) + n / 2) % n
+    ground = map_coordinates(tex, [v, u], order=1, mode="wrap")
+    # atmospheric fade towards the horizon + sky gradient above it
+    fade = np.clip((yy - horizon) / (n - horizon + 1e-6), 0, 1)
+    sky = 0.7 + 0.25 * (1 - yy / max(horizon, 1.0)) \
+        + _spectral_noise(rng, n, 2.8) * 0.05
+    g = np.where(yy < horizon, sky, ground * (0.3 + 0.7 * fade))
+    shade = _spectral_noise(rng, n, 2.6) * 0.15
+    return _rgb_mix(rng, np.stack([g, shade]))
+
+
+def _fam_caustics(rng, n):
+    """Underwater caustics: thin bright curvilinear webs over a cool
+    base — sparse high-contrast ridge networks (also reads as lightning,
+    cracks, vein networks)."""
+    w1 = _spectral_noise(rng, n, 2.4) * rng.uniform(1.5, 3.0)
+    w2 = _spectral_noise(rng, n, 2.4) * rng.uniform(1.5, 3.0)
+    p = rng.uniform(1.5, 4.0)
+    web = ((1 - np.abs(np.sin(w1 * np.pi))) ** p
+           * (1 - np.abs(np.sin(w2 * np.pi))) ** p)
+    depth = _spectral_noise(rng, n, 3.0) * 0.3
+    base = _rgb_mix(rng, np.stack([depth]), sat=1.2) \
+        * np.array([rng.uniform(0.1, 0.4), rng.uniform(0.4, 0.7),
+                    rng.uniform(0.5, 0.9)])
+    return np.clip(base + web[..., None] * rng.uniform(0.5, 1.0), 0, 1)
+
+
+def _fam_strands(rng, n):
+    """Fur / grass-blade statistics: fine streaks whose ORIENTATION
+    varies smoothly across the image (aniso covers one global direction;
+    real pelts and meadows swirl)."""
+    angles = [0.0, np.pi / 3, 2 * np.pi / 3]
+    streaks = np.stack([
+        _spectral_noise(rng, n, rng.uniform(1.2, 1.6),
+                        aniso=rng.uniform(8.0, 16.0), theta=a)
+        for a in angles])
+    sel = np.stack([_spectral_noise(rng, n, 3.0) for _ in angles])
+    w = np.exp(sel * rng.uniform(2.0, 4.0))
+    w /= w.sum(0, keepdims=True)
+    fur = (streaks * w).sum(0)
+    shade = _spectral_noise(rng, n, 2.6) * 0.5
+    return _rgb_mix(rng, np.stack([fur, shade]), sat=0.5)
+
+
+def _fam_clutter(rng, n):
+    """Piles of similar small objects (gravel, berries, crowds): many
+    shaded ellipses from a small colour palette — repeated-object
+    statistics at a consistent scale with occlusion."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    bg = _rgb_mix(rng, np.stack([_spectral_noise(rng, n, 2.0)])) * 0.5
+    pal = rng.uniform(0.1, 0.9, (rng.randint(2, 4), 3))
+    rgb = bg
+    ly, lx = rng.normal(0, 1, 2)
+    nrm = max(np.hypot(ly, lx), 1e-6)
+    ly, lx = ly / nrm, lx / nrm
+    r_base = rng.uniform(0.02, 0.06) * n
+    for _ in range(rng.randint(40, 120)):
+        cy, cx = rng.uniform(0, n, 2)
+        ry = r_base * rng.uniform(0.6, 1.5)
+        rx = ry * rng.uniform(0.7, 1.4)
+        d2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        m = 1 / (1 + np.exp(np.clip((d2 - 1.0) * rng.uniform(4, 12),
+                                    -60.0, 60.0)))
+        lam = ((yy - cy) * ly + (xx - cx) * lx) / max(ry, rx)
+        shade = np.clip(0.75 - 0.35 * lam, 0.2, 1.2)
+        col = np.clip(pal[rng.randint(len(pal))]
+                      + rng.normal(0, 0.06, 3), 0, 1)
+        rgb = rgb * (1 - m[..., None]) \
+            + (col * shade[..., None]) * m[..., None]
+    grain = _spectral_noise(rng, n, 1.0) * 0.04
+    return np.clip(rgb + grain[..., None], 0, 1)
+
+
+def _fam_weathered(rng, n):
+    """Rust / peeling paint: a flat painted base invaded by blotches of
+    rough differently-coloured texture with crisp irregular borders —
+    multiplicative patchiness over man-made surfaces."""
+    blotch = _spectral_noise(rng, n, rng.uniform(2.2, 2.8))
+    t = rng.uniform(-0.4, 0.6)
+    m = 1 / (1 + np.exp(-(blotch - t) * rng.uniform(6, 16)))
+    paint = np.clip(np.array([rng.uniform(0.3, 0.9) for _ in range(3)])
+                    + _spectral_noise(rng, n, 2.8)[..., None] * 0.05,
+                    0, 1)
+    rough = _smooth01(_spectral_noise(rng, n, 1.2))
+    rust_col = np.array([rng.uniform(0.35, 0.7), rng.uniform(0.15, 0.4),
+                         rng.uniform(0.05, 0.25)])
+    rust = rust_col * (0.5 + rough[..., None] * 0.8)
+    rim = np.abs(np.gradient(m)[0]) + np.abs(np.gradient(m)[1])
+    rgb = paint * (1 - m[..., None]) + rust * m[..., None]
+    rgb = rgb * (1 - np.clip(rim * 2, 0, 0.5))[..., None]
+    return np.clip(rgb, 0, 1)
+
+
+def _fam_bricks(rng, n):
+    """Brick/tile lattice: a regular grid with per-cell colour jitter,
+    thin dark mortar lines and slight coordinate warp — periodic
+    man-made structure with stochastic per-cell content."""
+    bh = rng.randint(14, 30)
+    bw = int(bh * rng.uniform(1.8, 3.0))
+    mortar = rng.randint(1, 4)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    warp = _spectral_noise(rng, n, 2.6) * rng.uniform(0.0, 2.0)
+    yw, xw = yy + warp, xx + warp
+    row = np.floor(yw / bh).astype(int)
+    xoff = xw + (row % 2) * (bw // 2)
+    col = np.floor(xoff / bw).astype(int)
+    vals = rng.uniform(0.25, 0.95, (n // 8 + 4, n // 8 + 4))
+    cell = vals[row % vals.shape[0], col % vals.shape[1]]
+    fy = yw - row * bh
+    fx = xoff - col * bw
+    is_mortar = (fy < mortar) | (fx < mortar)
+    tex = _spectral_noise(rng, n, 1.6) * 0.08
+    g = np.where(is_mortar, rng.uniform(0.05, 0.3), cell) + tex
+    shade = _spectral_noise(rng, n, 2.8) * 0.2
+    return _rgb_mix(rng, np.stack([g, shade]), sat=0.6)
+
+
+def _fam_aberration(rng, n):
+    """Lens-imperfection composite: chromatic aberration (per-channel
+    radial magnification) and slight motion blur applied to structured
+    content — channel-DISPLACED edges, a real-camera statistic every
+    clean generator lacks."""
+    from scipy.ndimage import map_coordinates
+    base_fams = [_fam_shapes, _fam_cells, _fam_patch_mosaic, _fam_text,
+                 _fam_foliage]
+    rgb = base_fams[rng.randint(len(base_fams))](rng, n)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    cyx = n / 2.0
+    out = np.empty_like(rgb)
+    ca = rng.uniform(0.002, 0.012)
+    for c, s in enumerate((1 - ca, 1.0, 1 + ca)):
+        out[..., c] = map_coordinates(
+            rgb[..., c], [(yy - cyx) * s + cyx, (xx - cyx) * s + cyx],
+            order=1, mode="reflect")
+    if rng.rand() < 0.6:                       # short motion blur
+        k = rng.randint(2, 6)
+        th = rng.uniform(0, np.pi)
+        acc = np.zeros_like(out)
+        for i in range(k):
+            dy = int(round(np.sin(th) * i))
+            dx = int(round(np.cos(th) * i))
+            acc += np.roll(np.roll(out, dy, axis=0), dx, axis=1)
+        out = acc / k
+    return np.clip(out, 0, 1)
+
+
+def _fam_posterize(rng, n):
+    """Banded gradients: smooth shading quantized to few levels (web
+    graphics, cartoons, over-compressed skies) — long exact-run regions
+    separated by single-step contours."""
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64) / n
+    g = (rng.normal(0, 1) * yy + rng.normal(0, 1) * xx
+         + rng.uniform(1, 3) * np.hypot(yy - rng.rand(), xx - rng.rand())
+         + _spectral_noise(rng, n, 3.2) * rng.uniform(0.0, 0.3))
+    g = _smooth01(g)
+    levels = rng.randint(4, 24)
+    if rng.rand() < 0.4:                       # ordered (Bayer) dither
+        bayer = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                          [3, 11, 1, 9], [15, 7, 13, 5]]) / 16.0 - 0.5
+        g = g + np.tile(bayer, (n // 4 + 1, n // 4 + 1))[:n, :n] / levels
+    q = np.floor(np.clip(g, 0, 0.999) * levels) / (levels - 1)
+    cols = rng.uniform(0, 1, (2, 3))
+    rgb = cols[0] * (1 - q[..., None]) + cols[1] * q[..., None]
+    return np.clip(rgb, 0, 1)
+
+
+def _fam_fisheye(rng, n):
+    """Wide-angle geometric distortion of structured content: straight
+    edges become curves with a radially varying local scale."""
+    from scipy.ndimage import map_coordinates
+    base_fams = [_fam_bricks, _fam_patch_mosaic, _fam_text, _fam_waves,
+                 _fam_vector]
+    rgb = base_fams[rng.randint(len(base_fams))](rng, n)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    cy = n / 2 + rng.uniform(-0.2, 0.2) * n
+    cx = n / 2 + rng.uniform(-0.2, 0.2) * n
+    r = np.hypot(yy - cy, xx - cx) / n
+    k = rng.uniform(-0.8, 1.5)
+    f = 1 + k * r * r
+    out = np.stack([map_coordinates(rgb[..., c],
+                                    [(yy - cy) * f + cy,
+                                     (xx - cx) * f + cx],
+                                    order=1, mode="reflect")
+                    for c in range(3)], axis=-1)
+    return np.clip(out, 0, 1)
+
+
+def _fam_hdrclip(rng, n):
+    """Backlit interior: dim textured room against blown-out window
+    regions clipped at the white point with bloom — the bimodal
+    luminance + saturation-clipping statistic of real HDR scenes."""
+    from scipy.ndimage import gaussian_filter
+    room = _rgb_mix(rng, np.stack([_spectral_noise(rng, n, 2.1),
+                                   _spectral_noise(rng, n, 1.4) * 0.3])
+                    ) * rng.uniform(0.15, 0.4)
+    yy, xx = np.mgrid[0:n, 0:n]
+    win = np.zeros((n, n))
+    for _ in range(rng.randint(1, 4)):
+        y0, x0 = rng.randint(0, n // 2, 2)
+        h = rng.randint(n // 5, n // 2)
+        w = rng.randint(n // 6, n // 2)
+        soft = rng.uniform(0.5, 2.0)
+        win += (1 / (1 + np.exp((np.abs(yy - y0 - h / 2) - h / 2) / soft))
+                * 1 / (1 + np.exp((np.abs(xx - x0 - w / 2) - w / 2)
+                                  / soft)))
+    win = np.clip(win, 0, 1)
+    glow = gaussian_filter(win, rng.uniform(4, 12)) * rng.uniform(.2, .5)
+    hot = win * rng.uniform(1.2, 2.5)           # >1 clips to white
+    return np.clip(room + hot[..., None] + glow[..., None], 0, 1)
+
+
 FAMILIES: Dict[str, Callable] = {
     "spectral": _fam_spectral,
     "terrain": _fam_terrain,
@@ -439,6 +703,21 @@ FAMILIES: Dict[str, Callable] = {
     "multiscale": _fam_multiscale,
     "jpegtex": _fam_jpegtex,
     "camnoise": _fam_camnoise,
+    # round-5 additions (VERDICT item 1: keep converting family
+    # diversity into held-out generalization): statistics the
+    # twenty-one above still don't span
+    "layers": _fam_layers,
+    "specular": _fam_specular,
+    "perspective": _fam_perspective,
+    "caustics": _fam_caustics,
+    "strands": _fam_strands,
+    "clutter": _fam_clutter,
+    "weathered": _fam_weathered,
+    "bricks": _fam_bricks,
+    "aberration": _fam_aberration,
+    "posterize": _fam_posterize,
+    "fisheye": _fam_fisheye,
+    "hdrclip": _fam_hdrclip,
 }
 
 
@@ -472,10 +751,15 @@ def generate_families(out_dir: str, tiles_per_family: int = 40,
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for fi, fam in enumerate(families or list(FAMILIES)):
-        rng = np.random.RandomState(seed * 1000 + fi)
         for t in range(tiles_per_family):
             p = os.path.join(out_dir, f"synth_{fam}_{t:04d}.png")
             if not os.path.isfile(p):
+                # per-TILE rng: extending an existing directory with a
+                # larger tiles_per_family must not replay the family
+                # stream from its start (the skip path above does not
+                # advance a shared rng, which would duplicate tile 0)
+                rng = np.random.RandomState(
+                    (seed * 1000 + fi) * 100003 + t + 1)
                 Image.fromarray(render_tile(fam, rng, n)).save(p)
             paths.append(p)
     return paths
