@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import os
 import struct
+import sys
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -145,6 +146,7 @@ def _unpad_dev(flat: jnp.ndarray, hdr_off, rows: int, cols: int
 
 
 _CANARY_CACHE = {}
+_TOPK_LOGGED: set = set()
 
 
 def contract_canary(rgb_spec, bn_spec, C_bn: int, K: int,
@@ -262,6 +264,16 @@ class TpuBitcoding:
             self.coder_topk = int(env_topk)
         else:
             self.coder_topk = default_topk
+        # serving visibility: the effective mixture truncation changes
+        # coded bytes (+0.27% at topk4), so say it once per process
+        key_log = (profile, self.coder_topk)
+        if key_log not in _TOPK_LOGGED:
+            _TOPK_LOGGED.add(key_log)
+            print(f"[codec v{self.VERSION}] profile={profile} "
+                  f"coder_topk={self.coder_topk} "
+                  f"({'full mixture' if not self.coder_topk else 'top-'
+                     + str(self.coder_topk) + ' renormalized'})",
+                  file=sys.stderr)
 
         def _get_P_int(p, bn, decF, s, topk):
             ls, dec_F = self.net.apply(p, s, bn, decF,
@@ -736,8 +748,12 @@ class TpuBitcoding:
                 raise DecodeError(
                     f"{pin}: coder-numerics canary mismatch (file "
                     f"{hdr['canary']:#010x}, this build {want:#010x}) — "
-                    "the file was encoded under a different XLA build/"
-                    "platform lowering; decoding would corrupt pixels")
+                    "the file was written by a build whose coder-"
+                    "numerics contract (pack reductions / XLA lowering "
+                    "/ platform) differs from this one; the file is NOT "
+                    "corrupt, but this build cannot decode it without "
+                    "corrupting pixels. Decode it with the build that "
+                    "wrote it.")
 
         C_bn = self.cfg.q.C
 

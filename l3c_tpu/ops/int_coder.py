@@ -232,6 +232,13 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
     single float stage of the v8 coder; everything after is
     program-shape-independent integer math.
 
+    SEMANTIC SOURCE: the float-boundary definitions (softmax over the
+    K axis, LOG_SCALES_MIN clamp on log-scales, sigmoid on the lambda
+    slots) are dmll.pack_coder_params's — both branches below must
+    keep matching it exactly or coded distributions silently change;
+    tests/test_numerics.py pins the equivalence against the model-side
+    definition.
+
     Lane-major: each param group's (N,H,W,C,K) slice of `l` is
     transposed to (C, K, n); every reduction (softmax, top-k
     selection) runs over the leading K axis as K slices of fully-tiled
@@ -443,6 +450,26 @@ def rgb_coarse_lookup(ip: IntParams, c: int,
     return qs[0].astype(jnp.uint32), (qs[1] - qs[0]).astype(jnp.uint32)
 
 
+def _cond_bounds(af, c_lo, c_hi):
+    """Tail-absorbed conditional bounds (lo, denominator) — THE single
+    expression shared by the decode-row side (_fine_cond_q14) and the
+    encode-lookup side (rgb_fine_lookup). The two sides must stay
+    bitwise in sync or files silently corrupt across the enc/dec
+    boundary, so the lo/hi absorption and the denominator clamp live
+    here and nowhere else (apply_lambda_chain's pattern)."""
+    lo = jnp.where(af == 0, np.float32(0), c_lo)
+    hi = jnp.where(af == N_COARSE - 1, np.float32(C_ONE), c_hi)
+    return lo, jnp.maximum(hi - lo, np.float32(1))
+
+
+def _cond_norm(c_e, lo, d) -> jnp.ndarray:
+    """Conditional renormalization floor((c_e - lo) * C_ONE / d) in
+    exact integers — the other half of the shared enc/dec contract."""
+    num = jnp.maximum(c_e - lo, np.float32(0)) * np.float32(C_ONE)
+    return jnp.clip(_floor_div(num, d), np.float32(0),
+                    np.float32(C_ONE))
+
+
 def _fine_cond_q14(p, a, sc, v, a_sym, e_fine) -> jnp.ndarray:
     """Conditional CDF Q14 at fine edges e_fine ((E,) or (E, n)) given
     coarse symbols a_sym (n,). z_b = z_a + b * a_q keeps the quantized-
@@ -457,12 +484,8 @@ def _fine_cond_q14(p, a, sc, v, a_sym, e_fine) -> jnp.ndarray:
     c_lo = mixture_cdf_q14(p, clip(z_a)[:, None, :])         # (1, n)
     c_hi = mixture_cdf_q14(
         p, clip(z_a + np.float32(FINE) * a)[:, None, :])     # (1, n)
-    lo = jnp.where(af == 0, np.float32(0), c_lo)
-    hi = jnp.where(af == N_COARSE - 1, np.float32(C_ONE), c_hi)
-    d = jnp.maximum(hi - lo, np.float32(1))
-    num = jnp.maximum(c_e - lo, np.float32(0)) * np.float32(C_ONE)
-    return jnp.clip(_floor_div(num, d), np.float32(0),
-                    np.float32(C_ONE))
+    lo, d = _cond_bounds(af, c_lo, c_hi)
+    return _cond_norm(c_e, lo, d)
 
 
 def rgb_fine_rows(ip: IntParams, c: int,
@@ -482,21 +505,18 @@ def rgb_fine_lookup(ip: IntParams, c: int,
     """(start, freq) u32 for known (coarse, fine) symbol pairs.
 
     Per-edge (K, n) evaluation (see _cdf_one); the conditional's
-    lo/hi/denominator are shared by both edges."""
+    lo/hi/denominator and normalization are the SHARED expressions
+    _cond_bounds/_cond_norm, so they cannot drift from the decode-row
+    side (_fine_cond_q14)."""
     p, a, sc, v = channel_int_params(ip, c, dec_syms)
     af = a_sym.reshape(-1).astype(_F)
     bf = b_sym.reshape(-1).astype(_F)
     z_a = af[None, :] * sc - v                               # (K, n)
     c_lo = _cdf_one(p, _clip_z(z_a))
     c_hi = _cdf_one(p, _clip_z(z_a + np.float32(FINE) * a))
-    lo = jnp.where(af == 0, np.float32(0), c_lo)             # (n,)
-    hi = jnp.where(af == N_COARSE - 1, np.float32(C_ONE), c_hi)
-    d = jnp.maximum(hi - lo, np.float32(1))
+    lo, d = _cond_bounds(af, c_lo, c_hi)                     # (n,)
     qs = []
     for e in (bf, bf + np.float32(1)):
         c_e = _cdf_one(p, _clip_z(z_a + e[None, :] * a))
-        num = jnp.maximum(c_e - lo, np.float32(0)) * np.float32(C_ONE)
-        cond = jnp.clip(_floor_div(num, d), np.float32(0),
-                        np.float32(C_ONE))
-        qs.append(quantize_edges(cond, e, FINE))
+        qs.append(quantize_edges(_cond_norm(c_e, lo, d), e, FINE))
     return qs[0].astype(jnp.uint32), (qs[1] - qs[0]).astype(jnp.uint32)
