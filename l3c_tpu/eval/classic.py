@@ -22,15 +22,28 @@ PNG (RESULTS.md round 4) — the bar a learned model must clear to claim
 it models images at all.
 
 File format (.medl):
-  v2 (context, default):
-    magic u16 = 0x4D45, version u8 = 2
+  v3 (context + inter-channel correction, default):
+    magic u16 = 0x4D45, version u8 = 3
     H u32, W u32, C u8, n_chunks u8, n_ctx u8
+    C*(C-1)/2 x int8 alpha   (chained inter-channel correction,
+                              channel-major [a10, a20, a21, ...])
     per (channel, ctx): theta u8, p0 u8      (TSGD params)
     per channel: n_chunks x u32 chunk byte lengths
     streams (channel-major)
+  v2 (context, kept as ablation): v3 without the alpha block.
   v1 (static histogram, kept as ablation):
     magic, version=1, H, W, C, n_chunks, per-channel 255 x u32
     interior cumulative points, then per-channel lens + streams.
+
+v3's inter-channel model: channel ch's MED prediction is corrected by
+floor((resc_j * a_chj + 32) / 64) for every previously-coded channel
+j, where resc_j is j's CENTERED mod-256 residual in [-128, 127] and
+a_chj an int8 fitted per image by greedy least squares (entropy-sweep
+measurements in tools/anchor_sweep.py: -0.56 bpsp on held-out val vs
+v2 — RGB planes share most of their edge structure, so one residual
+plane linearly predicts the next). Contexts are untouched; decode
+(ops/csrc/l3c_coder.cpp l3c_medctx_decode_v3) reproduces the exact
+integer correction from its own reconstruction.
 """
 from __future__ import annotations
 
@@ -121,14 +134,55 @@ def _tsgd_cum(theta_idx: int, p0_idx: int) -> np.ndarray:
     return cum
 
 
-def encode(img: np.ndarray) -> bytes:
-    """uint8 HWC image -> .medl v2 (context) byte string."""
-    assert img.dtype == np.uint8 and img.ndim == 3
+def _med_pred_plane(x: np.ndarray) -> np.ndarray:
+    """uint8 (H, W) -> int32 MED predictions (same boundary rules as
+    ops/csrc/l3c_coder.cpp l3c_med_residuals)."""
+    x = x.astype(np.int32)
+    a = np.empty_like(x); a[:, 1:] = x[:, :-1]; a[:, 0] = -1
+    b = np.empty_like(x); b[1:] = x[:-1]; b[0] = -1
+    c = np.empty_like(x); c[1:, 1:] = x[:-1, :-1]; c[0] = -1; c[:, 0] = -1
+    mx = np.maximum(a, b)
+    mn = np.minimum(a, b)
+    pred = np.where(c >= mx, mn, np.where(c <= mn, mx, a + b - c))
+    pred[0, 1:] = a[0, 1:]
+    pred[1:, 0] = b[1:, 0]
+    pred[0, 0] = 128
+    return pred
+
+
+def encode(img: np.ndarray, version: int = 3) -> bytes:
+    """uint8 HWC image -> .medl v3 (context + inter-channel) bytes.
+
+    version=2 drops the inter-channel correction (ablation / the
+    round-4 anchor)."""
+    assert img.dtype == np.uint8 and img.ndim == 3 and version in (2, 3)
     h, w, c = img.shape
-    res = coder_mod.med_residuals(img)                   # (C, H*W)
     ctx = coder_mod.med_contexts(img, N_CTX)             # (C, H*W)
-    parts: List[bytes] = [struct.pack("<HBIIBBB", _MAGIC, 2, h, w, c,
-                                      _N_CHUNKS, N_CTX)]
+    parts: List[bytes] = [struct.pack("<HBIIBBB", _MAGIC, version, h, w,
+                                      c, _N_CHUNKS, N_CTX)]
+    res = np.zeros((c, h * w), np.int32)
+    resc: List[np.ndarray] = []    # centered residuals, int32 planes
+    alphas: List[int] = []
+    for chn in range(c):
+        plane = img[:, :, chn]
+        pred = _med_pred_plane(plane)
+        r_signed = plane.astype(np.int32) - pred
+        for pr in (resc if version == 3 else ()):
+            # greedy least-squares fit of this prev channel's residual
+            # against what remains of ours; the applied correction is
+            # the same exact integer expression decode uses
+            denom = float((pr * pr).sum()) or 1.0
+            a_q = int(np.clip(round(float((r_signed * pr).sum())
+                                    / denom * 64.0), -127, 127))
+            alphas.append(a_q)
+            corr = (pr * a_q + 32) >> 6
+            pred = pred + corr
+            r_signed = r_signed - corr
+        r = (plane.astype(np.int32) - pred) & 255
+        res[chn] = r.reshape(-1)
+        resc.append(((r + 128) & 255) - 128)
+    if version == 3:
+        parts.append(np.asarray(alphas, np.int8).tobytes())
     cums_all = []
     for chn in range(c):
         cums = np.zeros((N_CTX, 257), np.uint32)
@@ -147,14 +201,18 @@ def encode(img: np.ndarray) -> bytes:
 
 
 def decode(blob: bytes) -> np.ndarray:
-    """.medl byte string (v1 or v2) -> uint8 HWC image."""
+    """.medl byte string (v1, v2, or v3) -> uint8 HWC image."""
     magic, ver = struct.unpack_from("<HB", blob)
     assert magic == _MAGIC
     if ver == 1:
         return _decode_v1(blob)
-    assert ver == 2
+    assert ver in (2, 3)
     _, _, h, w, c, n_chunks, n_ctx = struct.unpack_from("<HBIIBBB", blob)
     off = struct.calcsize("<HBIIBBB")
+    alphas = np.zeros(c * (c - 1) // 2, np.int8)
+    if ver == 3:
+        alphas = np.frombuffer(blob, np.int8, alphas.size, off)
+        off += alphas.size
     cums = np.zeros((c, n_ctx, 257), np.uint32)
     for chn in range(c):
         for k in range(n_ctx):
@@ -170,6 +228,9 @@ def decode(blob: bytes) -> np.ndarray:
         nb = int(ln.sum())
         datas.append(blob[off: off + nb])
         off += nb
+    if ver == 3:
+        return coder_mod.medctx_decode_v3(b"".join(datas), lens, h, w,
+                                          c, cums, alphas, n_chunks)
     return coder_mod.medctx_decode(b"".join(datas), lens, h, w, c,
                                    cums, n_chunks)
 

@@ -112,6 +112,12 @@ def get_lib() -> ctypes.CDLL:
         lib.l3c_medctx_contexts.argtypes = [
             c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, c_i32p]
+        c_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.l3c_medctx_decode_v3.restype = ctypes.c_int
+        lib.l3c_medctx_decode_v3.argtypes = [
+            c_u8p, c_i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_u32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i8p,
+            c_u8p]
         lib.l3c_coder_version.restype = ctypes.c_int
         lib.l3c_eval_variant.restype = ctypes.c_int
         _libs[force_scalar] = lib
@@ -281,6 +287,25 @@ def medctx_decode(data: bytes, chunk_lens: np.ndarray, h: int, w: int,
         n_chunks, img)
     if r != 0:
         raise RuntimeError(f"l3c_medctx_decode failed: {r}")
+    return img
+
+
+def medctx_decode_v3(data: bytes, chunk_lens: np.ndarray, h: int,
+                     w: int, c: int, cums: np.ndarray,
+                     alphas: np.ndarray, n_chunks: int) -> np.ndarray:
+    """Fused context decode + MED + inter-channel-corrected
+    reconstruction (.medl v3). alphas: (C*(C-1)/2,) int8, channel-major
+    [a10, a20, a21, ...]."""
+    lib = get_lib()
+    _, n_ctx, L1 = cums.shape
+    img = np.zeros((h, w, c), np.uint8)
+    buf = np.frombuffer(data, np.uint8).copy()
+    r = lib.l3c_medctx_decode_v3(
+        buf, np.ascontiguousarray(chunk_lens.reshape(-1), np.int64),
+        h, w, c, np.ascontiguousarray(cums, np.uint32), n_ctx, L1 - 1,
+        n_chunks, np.ascontiguousarray(alphas, np.int8), img)
+    if r != 0:
+        raise RuntimeError(f"l3c_medctx_decode_v3 failed: {r}")
     return img
 
 

@@ -33,6 +33,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
+#include <vector>
 
 #if defined(__AVX2__) && defined(__FMA__) && !defined(L3C_FORCE_SCALAR)
 #include <immintrin.h>
@@ -766,6 +768,85 @@ int l3c_medctx_decode(
                 rans_dec_advance(&dec, cum[lo], cum[lo + 1] - cum[lo]);
                 img_out[((long long)i * W + j) * C + chn] =
                     (unsigned char)((pred + lo) & 255);
+            }
+            off += n_bytes;
+        }
+    }
+    return 0;
+}
+
+// v3 (.medl): v2 + chained inter-channel residual correction. Channel
+// chn's prediction is MED plus, per previously-decoded channel j, the
+// integer correction floor((resc_j * alpha_{chn,j} + 32) / 64) from
+// that channel's CENTERED mod-256 residual resc_j in [-128, 127].
+// Alphas (int8, fitted per image on the encode side) arrive flattened
+// channel-major: [a10, a20, a21, a30, ...] — C*(C-1)/2 entries.
+// Contexts still come from the channel's own reconstruction, so the
+// context model is untouched; only the prediction moves. The exact
+// integer form ((r * a + 32) >> 6, arithmetic shift == floor division)
+// is the cross-language contract with eval/classic.py's encoder.
+int l3c_medctx_decode_v3(
+    const unsigned char* in, const long long* chunk_lens,
+    int H, int W, int C, const uint32_t* cums, int n_ctx, int L,
+    int n_chunks, const signed char* alphas, unsigned char* img_out) {
+    if (L != 256 || n_chunks <= 0 || n_ctx <= 0 || C > 8) return -2;
+    long long off = 0;
+    long long n = (long long)H * W;
+    std::vector<signed char> resc((size_t)C * n);   // centered residuals
+    std::vector<int32_t> corr(n);
+    int a_off = 0;
+    for (int chn = 0; chn < C; ++chn) {
+        const uint32_t* ch_cums = cums + (long long)chn * n_ctx * (L + 1);
+        std::fill(corr.begin(), corr.end(), 0);
+        for (int j = 0; j < chn; ++j) {
+            int a = alphas[a_off + j];
+            if (!a) continue;
+            const signed char* pr = resc.data() + (size_t)j * n;
+            for (long long p = 0; p < n; ++p)
+                corr[p] += ((int32_t)pr[p] * a + 32) >> 6;
+        }
+        a_off += chn;
+        signed char* rc = resc.data() + (size_t)chn * n;
+        for (int ck = 0; ck < n_chunks; ++ck) {
+            long long p0 = chunk_begin(n, n_chunks, ck);
+            long long p1 = chunk_begin(n, n_chunks, ck + 1);
+            long long n_bytes = chunk_lens[(long long)chn * n_chunks + ck];
+            if (n_bytes < 8 || (n_bytes & 3)) return -6;
+            const uint32_t* words = (const uint32_t*)(in + off);
+            RansDec dec;
+            rans_dec_init(&dec, words, words + n_bytes / 4);
+            for (long long p = p0; p < p1; ++p) {
+                int i = (int)(p / W), j = (int)(p % W);
+                int a = j ? img_out[((long long)i * W + j - 1) * C + chn]
+                          : -1;
+                int b = i ? img_out[((long long)(i - 1) * W + j) * C + chn]
+                          : -1;
+                int c = (i && j)
+                    ? img_out[((long long)(i - 1) * W + j - 1) * C + chn]
+                    : -1;
+                int pred, ctx;
+                if (i == 0) {
+                    pred = (j == 0) ? 128 : a;
+                    ctx = 0;
+                } else if (j == 0) {
+                    pred = b;
+                    ctx = 0;
+                } else {
+                    pred = med_pred(a, b, c);
+                    ctx = act_ctx(a, b, c, n_ctx);
+                }
+                pred += corr[p];
+                const uint32_t* cum = ch_cums + (long long)ctx * (L + 1);
+                uint32_t cf = rans_dec_cf(&dec);
+                int lo = 0, hi = L;
+                while (hi - lo > 1) {
+                    int mid = (lo + hi) >> 1;
+                    if (cum[mid] <= cf) lo = mid; else hi = mid;
+                }
+                rans_dec_advance(&dec, cum[lo], cum[lo + 1] - cum[lo]);
+                img_out[((long long)i * W + j) * C + chn] =
+                    (unsigned char)((pred + lo) & 255);
+                rc[p] = (signed char)(((lo + 128) & 255) - 128);
             }
             off += n_bytes;
         }
