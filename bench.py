@@ -121,6 +121,61 @@ def main():
         # is strictly worse (3.0-3.6s rounds vs 2x ~0.95s — the
         # doubled per-round transfer rides the tunnel's stall regime).
         # L3C_BENCH_DUPLEX=0 restores the phase-split A/B mode.
+        # Device-resident duplex (L3C_BENCH_MODE=resident): the
+        # device-bound ceiling as a MEASURED number. Pixels are staged
+        # on device once (stage_batch); every round runs the FULL
+        # encode (streams fetched + files written) and the FULL decode
+        # (files read + streams uploaded), but the decoded pixels stay
+        # in HBM where an on-device verifier compares them against the
+        # staged originals bit-for-bit and only an 8-byte flag+hash is
+        # fetched. This is the serving shape of a TPU-resident
+        # consumer (decoded images feeding a model on-chip); the
+        # full-transfer duplex below remains the shipped headline. Per
+        # round, link traffic is streams both ways (~2.4 MB each) vs
+        # ~8.7 MB/direction for full duplex — the difference IS the
+        # tunnel's share of the shipped number.
+        if os.environ.get("L3C_BENCH_MODE", "") == "resident":
+            n_rounds, patience = 16, 4
+            staged = bc.stage_batch(imgs)
+            rounds = []
+            eh = bc.encode_batch_async(
+                None, [os.path.join(d, f"rs0_{b}.l3c") for b in range(B)],
+                staged=staged)
+            dh = bc.decode_batch_async(warm_ps)
+            i = 0
+            while True:
+                t0 = time.perf_counter()
+                nxt_e = nxt_d = None
+                if i + 1 < n_rounds and not stop_early(rounds):
+                    nxt_e = bc.encode_batch_async(
+                        None, [os.path.join(d, f"rs{i + 1}_{b}.l3c")
+                               for b in range(B)], staged=staged)
+                    nxt_d = bc.decode_batch_async(warm_ps)
+                bc.encode_batch_finish(eh)
+                vh = bc.verify_batch_async(dh, staged)
+                eq, _ = bc.verify_batch_finish(vh)
+                rounds.append(time.perf_counter() - t0)
+                assert eq, "on-device round-trip verification FAILED"
+                eh, dh = nxt_e, nxt_d
+                i += 1
+                if eh is None:
+                    break
+            t_round = min(rounds)
+            mp = 512 * 512 / 1e6
+            mps = B * mp / t_round
+            baseline_mps = mp / 0.202
+            print(json.dumps({
+                "metric": ("encode+decode throughput, 512x512 RGB, "
+                           f"batch {B}, full pipeline (duplex, "
+                           "device-resident pixels, on-device "
+                           "bit-exact verification)"),
+                "value": round(mps, 4),
+                "unit": "MP/s",
+                "vs_baseline": round(mps / baseline_mps, 4),
+            }))
+            print(f"# resident duplex rounds (ms): "
+                  f"{[f'{r*1000:.0f}' for r in rounds]}", file=sys.stderr)
+            return
         if os.environ.get("L3C_BENCH_DUPLEX", "1") == "1":
             # more rounds + patience than the phase mode: duplex rounds
             # are the headline number, and the shared pool's quiet

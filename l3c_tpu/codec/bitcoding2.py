@@ -223,6 +223,7 @@ class TpuBitcoding:
         # ~20MB/dispatch through the host tunnel dwarfs the compute.
         self.params = jax.device_put(params, device)
         self.times = times if times is not None else NoOpTimer()
+        self._verify_jit = None
 
         self._rgb = blueprint.rgb_spec(cfg)
         self._bn = blueprint.bn_spec(cfg)
@@ -511,16 +512,15 @@ class TpuBitcoding:
         handle = self.encode_batch_async(imgs, pouts)
         return self.encode_batch_finish(handle)
 
-    def encode_batch_async(self, imgs: Sequence[np.ndarray],
-                           pouts: Sequence[str]):
-        """Dispatch the device work for a batch; returns a handle for
-        encode_batch_finish. Dispatch batch i+1 before finishing batch i
-        to overlap device compute with host fetch/write (pipelining)."""
-        assert len(imgs) == len(pouts)
+    def stage_batch(self, imgs: Sequence[np.ndarray]):
+        """Pad + upload a batch of same-shape images ONCE; the returned
+        staging handle feeds encode_batch_async(staged=...) and
+        verify_batch_async. For device-resident serving pipelines
+        (decoded pixels consumed by a TPU model, never fetched) and the
+        bench's device-ceiling mode: pixel bytes cross the host link
+        exactly once instead of once per use."""
         B = len(imgs)
         F = fbatch_for(B)
-        for p in pouts:
-            assert not os.path.isfile(p), p
         padded_list, pad_tuples = [], []
         for im in imgs:
             im = im if im.ndim == 4 else im[None]
@@ -530,11 +530,28 @@ class TpuBitcoding:
             pad_tuples.append(tup)
         # pad the batch to the physical fbatch by repeating image 0;
         # dummy slots are coded too (their streams are never written).
-        padded = np.stack(padded_list
-                          + [padded_list[0]] * (F - B))
-        _, H, W, _ = padded.shape
+        padded = np.stack(padded_list + [padded_list[0]] * (F - B))
         # ONE uint8 upload; float/int views are derived on device
-        x = self._put(padded)
+        return dict(x=self._put(padded), pad_tuples=pad_tuples,
+                    B=B, F=F)
+
+    def encode_batch_async(self, imgs: Optional[Sequence[np.ndarray]],
+                           pouts: Sequence[str], staged=None):
+        """Dispatch the device work for a batch; returns a handle for
+        encode_batch_finish. Dispatch batch i+1 before finishing batch i
+        to overlap device compute with host fetch/write (pipelining).
+        Pass staged=stage_batch(...) (imgs=None) to encode from
+        device-resident pixels without re-uploading them."""
+        if staged is None:
+            assert imgs is not None and len(imgs) == len(pouts)
+            staged = self.stage_batch(imgs)
+        B, F = staged["B"], staged["F"]
+        assert B == len(pouts)
+        pad_tuples = staged["pad_tuples"]
+        for p in pouts:
+            assert not os.path.isfile(p), p
+        x = staged["x"]
+        _, H, W, _ = x.shape
         S = self.cfg.num_scales
         C_bn = self.cfg.q.C
 
@@ -898,6 +915,31 @@ class TpuBitcoding:
                 im = pad_mod.undo_pad(im, *tup)
             out.append(im)
         return out
+
+    def verify_batch_async(self, dec_handle, staged):
+        """On-device round-trip verification: compare the decoded
+        device-resident images against the staged originals WITHOUT
+        fetching pixels — only 8 bytes (all-equal flag + a u32 content
+        hash of the decoded buffer) ever cross the host link. This is
+        the consumer of record for device-resident serving (decoded
+        pixels feeding a TPU model stay in HBM; the reference's decode
+        always lands in host RAM because its consumer is the CPU)."""
+        if self._verify_jit is None:
+            @jax.jit
+            def vfn(dec, ref):
+                eq = jnp.all(dec == ref)
+                flat = dec.astype(jnp.uint32).reshape(-1)
+                w = (jnp.arange(flat.size, dtype=jnp.uint32)
+                     * jnp.uint32(2654435761)) | jnp.uint32(1)
+                h = jnp.sum(flat * w, dtype=jnp.uint32)  # wraps mod 2^32
+                return jnp.stack([eq.astype(jnp.uint32), h])
+            self._verify_jit = vfn
+        return self._verify_jit(dec_handle["imgs"], staged["x"])
+
+    @staticmethod
+    def verify_batch_finish(vh) -> Tuple[bool, int]:
+        out = np.asarray(vh)
+        return bool(out[0]), int(out[1])
 
     def _decode_rgb(self, ip, w_coarse, w_fine, F, hs, ws, T_c, T_f,
                     out="syms"):

@@ -275,6 +275,30 @@ def test_duplex_interleaved_async(setup, tmp_path):
         np.testing.assert_array_equal(o, im)
 
 
+def test_staged_encode_and_device_verify(setup, tmp_path):
+    """Device-resident serving path: stage pixels once, encode from the
+    staged upload, decode, verify the round-trip ON DEVICE (only the
+    8-byte flag+hash is fetched), and confirm the verifier actually
+    discriminates (mismatched reference -> eq False, different hash)."""
+    cfg, net, params = setup
+    bc = TpuBitcoding(cfg, net, params)
+    imgs = [_rand_img(16, 16, seed=50 + i) for i in range(2)]
+    staged = bc.stage_batch(imgs)
+    pouts = [str(tmp_path / f"st{i}.l3c") for i in range(2)]
+    bc.encode_batch_finish(bc.encode_batch_async(None, pouts,
+                                                 staged=staged))
+    dh = bc.decode_batch_async(pouts)
+    eq, h = bc.verify_batch_finish(bc.verify_batch_async(dh, staged))
+    assert eq
+    # staged-encode files are also host-decodable and bit-exact
+    for im, o in zip(imgs, bc.decode_batch_finish(dh)):
+        np.testing.assert_array_equal(o, im)
+    # a wrong reference must fail the device verify
+    other = bc.stage_batch([_rand_img(16, 16, seed=99), imgs[1]])
+    eq2, h2 = bc.verify_batch_finish(bc.verify_batch_async(dh, other))
+    assert not eq2 and h2 == h  # hash is of the DECODED buffer
+
+
 def test_divmod_by_freq_exact():
     """The f32-division divmod used in the encode scan must equal
     integer divmod on every input satisfying the rANS invariant
