@@ -71,6 +71,14 @@ def main(argv=None):
     val_paths = ImagesCached(dl.val_glob, dl.image_cache_pkl,
                              dl.val_glob_min_size).paths()
     print(f"{len(train_paths)} train / {len(val_paths)} val images")
+    if dl.real_oversample > 1:
+        real = [q for q in train_paths
+                if not os.path.basename(q).startswith("x_synth")]
+        train_paths = train_paths + real * (dl.real_oversample - 1)
+        print(f"real_oversample={dl.real_oversample}: {len(real)} real "
+              f"tiles -> {len(train_paths)} sampled paths "
+              f"({len(real) * dl.real_oversample / len(train_paths):.0%}"
+              " real)")
 
     batches = TrainBatches(train_paths, dl.batchsize_train, dl.crop_size,
                            seed=flags.seed, aug_strong=dl.aug_strong)

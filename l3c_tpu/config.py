@@ -115,6 +115,12 @@ class DlConfig:
     # jitter, vertical flips) for small offline corpora — see
     # data.images._strong_aug. Off for Open-Images-scale data.
     aug_strong: bool = False
+    # Offline-corpus rebalancing: sample real-photo tiles (basename
+    # without data.synth's 'x_synth' prefix) this many times more often
+    # than synthetic ones. The held-out val measures real-photo
+    # statistics while the offline train mix is ~82% synthetic; >1
+    # shifts the sampled mix back toward what val measures. 1 = off.
+    real_oversample: int = 1
 
 
 # --------------------------------------------------------------------- parser
