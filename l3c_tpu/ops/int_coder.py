@@ -63,6 +63,7 @@ backend's provably-monotone evaluator, whose argument inspired this).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -191,8 +192,8 @@ class IntParams(NamedTuple):
     w: Optional[jnp.ndarray]  # lam * a_hat Q10 (RGB) or None
 
 
-def topk_masks(pi: jnp.ndarray, topk: int) -> list:
-    """One-hot masks of the top-`topk` mixture components along axis 1.
+def topk_rank(pi: jnp.ndarray) -> jnp.ndarray:
+    """u8 descending rank of the mixture components along axis 1.
 
     One-pass RANK select, NOT lax.top_k (lowers to a full sort plus
     gathers) and NOT iterative argmax rounds (each round
@@ -201,12 +202,9 @@ def topk_masks(pi: jnp.ndarray, topk: int) -> list:
     rank_k = #components that beat k, ties to the lower index — K
     fused compare-accumulates over arrays whose minor axis is n, so
     the K^2 compares are tile-local and the whole select fuses into
-    the surrounding elementwise pack. The r-th mask is exactly
-    rank == r: the same choice as stable descending top-k for every
-    input, including ties (tested against the numpy argsort oracle).
-
-    pi: (C, K, n). Returns `topk` disjoint (C, K, n) bool masks, each
-    selecting exactly one component per (c, pixel)."""
+    the surrounding elementwise pack. rank == r selects the same
+    component as stable descending top-k for every input, including
+    ties (tested against the numpy argsort oracle)."""
     K = pi.shape[1]
     k_iota = jnp.arange(K, dtype=jnp.float32)[None, :, None]
     rank = jnp.zeros_like(pi)
@@ -221,8 +219,41 @@ def topk_masks(pi: jnp.ndarray, topk: int) -> list:
     # stack entries), turning one O(K^2 n) pass into ~16 — measured
     # +24.5 ms on get_P[0] at the bench shape. A 60 MB u8 spill is
     # ~0.1 ms of HBM traffic; mask compares against it are free.
-    rank = jax.lax.optimization_barrier(rank.astype(jnp.uint8))
+    return jax.lax.optimization_barrier(rank.astype(jnp.uint8))
+
+
+def topk_masks(pi: jnp.ndarray, topk: int) -> list:
+    """One-hot masks of the top-`topk` mixture components along axis 1.
+
+    pi: (C, K, n). Returns `topk` disjoint (C, K, n) bool masks, each
+    selecting exactly one component per (c, pixel)."""
+    rank = topk_rank(pi)
     return [rank == np.uint8(r) for r in range(topk)]
+
+
+def sel_kmajor(x: jnp.ndarray, rank: jnp.ndarray, topk: int
+               ) -> jnp.ndarray:
+    """Rank-select as ONE streaming pass over x: route each (c, k, n)
+    element to its rank slot while it is in registers, instead of
+    re-reading the whole (C, K, n) tensor once per rank (the stacked
+    masked-sum form makes each of the `topk` sums an independent
+    reduce, so x is streamed from HBM topk times per group).
+
+    BITWISE equal to the stacked form by construction: per (c, pixel,
+    r) exactly one k contributes a nonzero term and float adds of +-0
+    to an accumulator are exact, so both forms produce the selected
+    value itself (pinned by tests/test_int_coder.py against the
+    stacked oracle).
+
+    x: (C, K, n); rank: u8 (C, K, n). Returns (C, topk, n)."""
+    K = x.shape[1]
+    acc = [jnp.zeros_like(x[:, 0]) for _ in range(topk)]
+    for k in range(K):
+        xk = x[:, k]
+        rk = rank[:, k]
+        for r in range(topk):
+            acc[r] = acc[r] + xk * (rk == np.uint8(r)).astype(x.dtype)
+    return jnp.stack(acc, axis=1)
 
 
 def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
@@ -260,29 +291,41 @@ def pack_int_params(spec: dmll_mod.DMLLSpec, l: jnp.ndarray, C: int,
         # of K. Renormalized top-k probs = softmax over the selected
         # logits directly.
         pl = tp(0)                                 # pi logits (C, K, n)
-        ohs = topk_masks(pl, topk)
+        # L3C_TOPK_SEL: stacked masked-sums (stack) vs one streaming
+        # k-major pass (kmajor) — bitwise-identical outputs (tested);
+        # pick by measured device time (tools/topk_probe.py).
+        kmajor = os.environ.get("L3C_TOPK_SEL", "kmajor") == "kmajor"
+        rank = topk_rank(pl)
+        ohs = [rank == np.uint8(r) for r in range(topk)]
 
-        def sel(x, masks):
-            # x (C, K, n), masks [(C, K, n)] -> (C, topk, n)
+        def sel(x):
+            # x (C, K, n) -> (C, topk, n); selected value rides a sum
+            # of zeros either way, exact
+            if kmajor:
+                return sel_kmajor(x, rank, topk)
             return jnp.stack(
                 [jnp.sum(x * m.astype(x.dtype), axis=1)
-                 for m in masks], axis=1)
+                 for m in ohs], axis=1)
 
-        # mask arithmetic on logits: the selected logit rides a sum of
-        # zeros, exact — sel(x)[r] IS the rank-r component's value
-        pi = jax.nn.softmax(sel(pl, ohs), axis=1)
-        mu = sel(tp(1), ohs)
-        inv_s = jnp.exp(-jnp.maximum(sel(tp(2), ohs), np.float32(
+        pi = jax.nn.softmax(sel(pl), axis=1)
+        mu = sel(tp(1))
+        inv_s = jnp.exp(-jnp.maximum(sel(tp(2)), np.float32(
             dmll_mod.LOG_SCALES_MIN)))
         lam = None
         if spec.rgb_scale:
             # lam slot j conditions TARGET channel (1, 2, 2): each slot
             # follows its target channel's component selection
             ll = tp(3)
-            lam = jax.nn.sigmoid(jnp.stack(
-                [jnp.stack([jnp.sum(ll[j] * oh[t].astype(ll.dtype),
-                                    axis=0) for oh in ohs], axis=0)
-                 for j, t in enumerate((1, 2, 2))], axis=0))
+            if kmajor:
+                lam_sel = sel_kmajor(
+                    ll, jnp.stack([rank[1], rank[2], rank[2]], axis=0),
+                    topk)
+            else:
+                lam_sel = jnp.stack(
+                    [jnp.stack([jnp.sum(ll[j] * oh[t].astype(ll.dtype),
+                                        axis=0) for oh in ohs], axis=0)
+                     for j, t in enumerate((1, 2, 2))], axis=0)
+            lam = jax.nn.sigmoid(lam_sel)
     else:
         pi = jax.nn.softmax(tp(0), axis=1)         # (C, K, n)
         mu = tp(1)

@@ -273,6 +273,47 @@ def test_pack_topk_and_bitrate_sanity():
     assert x4 / H_true - 1 < 0.03, (H_true, x4)
 
 
+def test_topk_sel_variants_bitwise_equal(monkeypatch):
+    """L3C_TOPK_SEL=stack (per-rank masked sums) and =kmajor (one
+    streaming pass) must produce BITWISE-identical IntParams: both
+    forms sum exactly one nonzero term per (c, pixel, rank) plus
+    zeros, so the selected value itself comes out either way. The
+    variants differ only in measured device time (tools/topk_probe)."""
+    rng = np.random.RandomState(11)
+    for rgb in (False, True):
+        K = 10
+        C = 3 if rgb else 2
+        spec = (dmll.DMLLSpec(rgb_scale=True, x_min=0.0, x_max=255.0,
+                              L=256) if rgb else
+                dmll.DMLLSpec(rgb_scale=False, x_min=-1.0, x_max=1.0,
+                              L=25))
+        Kp = dmll.non_shared_get_Kp(K, C)
+        N, H, W = 2, 12, 16
+        l = (rng.randn(N, H, W, Kp) * 1.3).astype(np.float32)
+        # engineered ties so tie-handling is covered too
+        l[0, 0, 0] = l[0, 1, 1]
+        ips = {}
+        for variant in ("stack", "kmajor"):
+            monkeypatch.setenv("L3C_TOPK_SEL", variant)
+            ips[variant] = jax.jit(
+                lambda lv: ic.pack_int_params(spec, lv, C, topk=4))(
+                jnp.asarray(l))
+        for name in ip_fields(ips["stack"]):
+            a = getattr(ips["stack"], name)
+            b = getattr(ips["kmajor"], name)
+            if a is None:
+                assert b is None
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint32),
+                np.asarray(b).view(np.uint32),
+                err_msg=f"rgb={rgb} field={name}")
+
+
+def ip_fields(ip):
+    return ip._fields
+
+
 def test_topk_masks_match_stable_argsort_oracle():
     """Rank-based top-k selection == numpy stable descending top-k,
     including exact ties (ties must break to the LOWER index so both
