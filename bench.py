@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(argv=None):  # argv unused; tools.cpu_run compatibility
     # real chip: leave JAX_PLATFORMS as the environment provides (axon)
     import jax
     import jax.numpy as jnp
@@ -66,8 +66,11 @@ def main():
     bc = make_bitcoding(cfg, net, params, times=times)
 
     # Mildly structured image (random model => near-worst-case bitrate;
-    # throughput is what we measure).
-    yy, xx = np.mgrid[0:512, 0:512]
+    # throughput is what we measure). L3C_BENCH_SIZE shrinks the image
+    # for smoke-driving the full pipeline off-chip; the headline metric
+    # is defined at 512.
+    SZ = int(os.environ.get("L3C_BENCH_SIZE", "512"))
+    yy, xx = np.mgrid[0:SZ, 0:SZ]
     base = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1)
     img = np.clip(base + rng.randint(-8, 8, base.shape), 0,
                   255).astype(np.uint8)[None]
@@ -134,88 +137,102 @@ def main():
         # round, link traffic is streams both ways (~2.4 MB each) vs
         # ~8.7 MB/direction for full duplex — the difference IS the
         # tunnel's share of the shipped number.
-        if os.environ.get("L3C_BENCH_MODE", "") == "resident":
-            n_rounds, patience = 16, 4
-            staged = bc.stage_batch(imgs)
-            rounds = []
-            eh = bc.encode_batch_async(
-                None, [os.path.join(d, f"rs0_{b}.l3c") for b in range(B)],
-                staged=staged)
-            dh = bc.decode_batch_async(warm_ps)
-            i = 0
-            while True:
+        # L3C_BENCH_DEPTH: in-flight enc+dec round pairs (default 2 =
+        # the classic dispatch-next-then-finish shape). Depth 3 keeps a
+        # second spare round in flight so one direction's tunnel stall
+        # doesn't drain the other direction's queue; total bytes/round
+        # are unchanged, so this can only smooth jitter, not beat the
+        # link rate.
+        depth = max(1, int(os.environ.get("L3C_BENCH_DEPTH", "2")))
+
+        def run_duplex(disp, fin, n_rounds):
+            """Duplex pipeline driver. Returns (steady, drain) round
+            times. Only rounds that BEGIN with a dispatch (pipeline
+            full) are eligible for the headline best-of: a drain round
+            finishes already-queued work without paying a dispatch, so
+            its wall time can be near zero (measured 1 ms at depth 3)
+            and would corrupt a best-of. NOTE this tightens the r04
+            duplex accounting, which let the final (drain) round count
+            — documented in RESULTS.md round 5."""
+            steady, drain = [], []
+            inflight = [disp(i) for i in range(depth - 1)]
+            i = depth - 1
+            while inflight or i < n_rounds:
                 t0 = time.perf_counter()
-                nxt_e = nxt_d = None
-                if i + 1 < n_rounds and not stop_early(rounds):
-                    nxt_e = bc.encode_batch_async(
-                        None, [os.path.join(d, f"rs{i + 1}_{b}.l3c")
-                               for b in range(B)], staged=staged)
-                    nxt_d = bc.decode_batch_async(warm_ps)
-                bc.encode_batch_finish(eh)
-                vh = bc.verify_batch_async(dh, staged)
-                eq, _ = bc.verify_batch_finish(vh)
-                rounds.append(time.perf_counter() - t0)
-                assert eq, "on-device round-trip verification FAILED"
-                eh, dh = nxt_e, nxt_d
-                i += 1
-                if eh is None:
+                dispatched = False
+                if i < n_rounds and not stop_early(steady):
+                    inflight.append(disp(i))
+                    i += 1
+                    dispatched = True
+                if not inflight:
                     break
-            t_round = min(rounds)
-            mp = 512 * 512 / 1e6
+                fin(inflight.pop(0))
+                (steady if dispatched else drain).append(
+                    time.perf_counter() - t0)
+                if i >= n_rounds or stop_early(steady):
+                    i = n_rounds
+            return steady, drain
+
+        def report_duplex(label, steady, drain):
+            t_round = min(steady)
+            mp = SZ * SZ / 1e6
             mps = B * mp / t_round
             baseline_mps = mp / 0.202
             print(json.dumps({
-                "metric": ("encode+decode throughput, 512x512 RGB, "
-                           f"batch {B}, full pipeline (duplex, "
-                           "device-resident pixels, on-device "
-                           "bit-exact verification)"),
+                "metric": (f"encode+decode throughput, {SZ}x{SZ} RGB, "
+                           f"batch {B}, {label}"),
                 "value": round(mps, 4),
                 "unit": "MP/s",
                 "vs_baseline": round(mps / baseline_mps, 4),
             }))
-            print(f"# resident duplex rounds (ms): "
-                  f"{[f'{r*1000:.0f}' for r in rounds]}", file=sys.stderr)
+            print(f"# steady rounds (ms): "
+                  f"{[f'{r*1000:.0f}' for r in steady]} | drain "
+                  f"(untimed tail, excluded): "
+                  f"{[f'{r*1000:.0f}' for r in drain]}", file=sys.stderr)
+
+        if os.environ.get("L3C_BENCH_MODE", "") == "resident":
+            n_rounds, patience = 16, 4
+            staged = bc.stage_batch(imgs)
+
+            def disp(i):
+                return (bc.encode_batch_async(
+                            None, [os.path.join(d, f"rs{i}_{b}.l3c")
+                                   for b in range(B)], staged=staged),
+                        bc.decode_batch_async(warm_ps))
+
+            def fin(pair):
+                eh, dh = pair
+                bc.encode_batch_finish(eh)
+                vh = bc.verify_batch_async(dh, staged)
+                eq, _ = bc.verify_batch_finish(vh)
+                assert eq, "on-device round-trip verification FAILED"
+
+            steady, drain = run_duplex(disp, fin, n_rounds)
+            report_duplex("full pipeline (duplex, device-resident "
+                          "pixels, on-device bit-exact verification)",
+                          steady, drain)
             return
         if os.environ.get("L3C_BENCH_DUPLEX", "1") == "1":
             # more rounds + patience than the phase mode: duplex rounds
             # are the headline number, and the shared pool's quiet
             # windows are worth waiting out.
             n_rounds, patience = 16, 4
-            rounds = []
-            eh = bc.encode_batch_async(
-                imgs, [os.path.join(d, f"dx0_{b}.l3c") for b in range(B)])
-            dh = bc.decode_batch_async(warm_ps)
-            i = 0
-            while True:
-                t0 = time.perf_counter()
-                nxt_e = nxt_d = None
-                if i + 1 < n_rounds and not stop_early(rounds):
-                    nxt_e = bc.encode_batch_async(
-                        imgs, [os.path.join(d, f"dx{i + 1}_{b}.l3c")
-                               for b in range(B)])
-                    nxt_d = bc.decode_batch_async(warm_ps)
+
+            def disp(i):
+                return (bc.encode_batch_async(
+                            imgs, [os.path.join(d, f"dx{i}_{b}.l3c")
+                                   for b in range(B)]),
+                        bc.decode_batch_async(warm_ps))
+
+            def fin(pair):
+                eh, dh = pair
                 bc.encode_batch_finish(eh)
                 outs = bc.decode_batch_finish(dh)
-                rounds.append(time.perf_counter() - t0)
                 for im, o in zip(imgs, outs):
                     assert np.array_equal(o, im)
-                eh, dh = nxt_e, nxt_d
-                i += 1
-                if eh is None:
-                    break
-            t_round = min(rounds)
-            mp = 512 * 512 / 1e6
-            mps = B * mp / t_round
-            baseline_mps = mp / 0.202
-            print(json.dumps({
-                "metric": ("encode+decode throughput, 512x512 RGB, "
-                           f"batch {B}, full pipeline (duplex)"),
-                "value": round(mps, 4),
-                "unit": "MP/s",
-                "vs_baseline": round(mps / baseline_mps, 4),
-            }))
-            print(f"# duplex rounds (ms): "
-                  f"{[f'{r*1000:.0f}' for r in rounds]}", file=sys.stderr)
+
+            steady, drain = run_duplex(disp, fin, n_rounds)
+            report_duplex("full pipeline (duplex)", steady, drain)
             return
         handle = bc.encode_batch_async(
             imgs, [os.path.join(d, f"r0_{b}.l3c") for b in range(B)])
@@ -267,11 +284,11 @@ def main():
     t_enc, t_dec = min(encs), min(decs)
     t_enc1, t_dec1 = min(encs1), min(decs1)
 
-    mp = 512 * 512 / 1e6
+    mp = SZ * SZ / 1e6
     mps = B * mp / (t_enc + t_dec)
-    baseline_mps = (512 * 512 / 1e6) / 0.202  # reference entropy-coder enc
+    baseline_mps = (SZ * SZ / 1e6) / 0.202  # reference entropy-coder enc
     result = {
-        "metric": ("encode+decode throughput, 512x512 RGB, "
+        "metric": (f"encode+decode throughput, {SZ}x{SZ} RGB, "
                    f"batch {B}, full pipeline"),
         "value": round(mps, 4),
         "unit": "MP/s",
