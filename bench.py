@@ -43,7 +43,8 @@ def main(argv=None):  # argv unused; tools.cpu_run compatibility
     ckpt_dir = os.environ.get(
         "L3C_BENCH_CKPT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "models_zoo", "0819_0307 cr oi_offline r4long"))
+                     "models_zoo",
+                     "0820_0345 cr oi_offline r@0819_0307 r5b"))
     params = None
     if ckpt_dir != "none" and os.path.isdir(ckpt_dir):
         from l3c_tpu.train.saver import Restorer
